@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline jobs:
+
+- ``graph_build``: synthetic repo_files (deterministic, size scaled to the
+  SF dir) → extraction → vertex/edge/adjacency tables (counts forced).
+- ``ppr``: Personalized PageRank to L1 < 1e-6 on that graph (CSR engine);
+  also reports supersteps, supersteps/min, and edges/sec
+  (supersteps × adjacency rows / ppr seconds) — the BASELINE.json metric.
+- ``connected_components`` / ``label_propagation`` / ``triangle_count``
+  on the same graph.
+- pipeline ops at $SPARK_GRAFT_SF_DIR: minhash LSH pairs, simhash,
+  token stats, blocked-cogroup KNN over the embeddings table.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_FILES (default scales
+with SF: 10000 at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from hipporag_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", str(max(1000, int(100_000 * sf)))))
+
+    spark = get_spark(parallelism=cpus, app_name="hipporag_spark_bench")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # ---- graph build over the synthetic repo table ----
+    from hipporag_spark.extract import extract
+    from hipporag_spark.graph.build import build_graph, strength
+    from hipporag_spark.synth import repo_files
+
+    with timed("graph_build"):
+        files = repo_files(spark, n_files)
+        ex = extract(files).persist()
+        verts, edges, adj = build_graph(ex)
+        st = strength(adj).persist()
+        n_vertices = verts.count()
+        n_edges = adj.count()
+    extras["n_vertices"] = n_vertices
+    extras["n_adj_rows"] = n_edges
+    extras["n_files"] = n_files
+
+    # ---- PPR (the centerpiece) ----
+    from hipporag_spark.algo.ppr import personalized_pagerank
+
+    ids = [r["id"] for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(5).collect()]
+    reset = spark.createDataFrame([(int(i), 1.0) for i in ids], "id long, weight double")
+    with timed("ppr"):
+        ranks, lineage = personalized_pagerank(
+            spark, adj, st, verts.select("id"), n_vertices=n_vertices,
+            reset_df=reset, damping=0.5, engine="csr", num_blocks=cpus,
+        )
+        ranks.count()
+    steps = len(lineage)
+    extras["ppr_supersteps"] = steps
+    extras["ppr_supersteps_per_min"] = round(steps / (timings["ppr"] / 60.0), 2)
+    extras["ppr_edges_per_sec"] = round(steps * n_edges / timings["ppr"], 1)
+    extras["ppr_converged"] = bool(lineage and lineage[-1]["converged"])
+
+    # ---- other algorithms on the same graph ----
+    from hipporag_spark.algo.components import connected_components
+    from hipporag_spark.algo.labelprop import label_propagation
+    from hipporag_spark.algo.triangles import triangle_count
+
+    with timed("connected_components"):
+        comp, cc_lin = connected_components(spark, adj, verts.select("id"), num_blocks=cpus)
+        comp.count()
+    extras["cc_supersteps"] = len(cc_lin)
+
+    with timed("label_propagation"):
+        labels, _ = label_propagation(spark, adj, verts.select("id"), max_iter=5, num_blocks=cpus)
+        labels.count()
+
+    with timed("triangle_count"):
+        _, total = triangle_count(adj)
+    extras["triangles"] = total
+
+    # ---- pipeline ops over the driver testdata ----
+    from hipporag_spark import driver_queries as dq
+
+    for name in ["minhash_lsh_pairs", "simhash", "token_stats", "knn_blocked_cogroup"]:
+        with timed(name):
+            dq.all_queries()[name](spark, sf_dir).count()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

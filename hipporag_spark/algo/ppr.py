@@ -1,0 +1,272 @@
+"""Personalized PageRank as an iterative DataFrame job.
+
+Semantics are the reference's own explicit spec of what igraph prpack
+computes for HippoRAG (``/root/reference/kotlin/src/main/kotlin/hipporag/
+graph/SimpleGraph.kt:130-182``; invocation ``HippoRAG.py:1599-1606``,
+damping default 0.5 ``config_utils.py:180-183``):
+
+    reset  sanitized (NaN/neg → 0, HippoRAG.py:1598), normalized to Σ=1,
+           uniform if Σ=0
+    r0[v]  = 1/n
+    r'[v]  = (1-d)·reset[v] + d·danglingMass·reset[v]
+             + d·Σ_u r[u]·W[u,v]/strength(u)
+    stop   when Σ|r'-r| < tol   (tol 1e-6, ≤100 iters)
+
+Two physical engines, same math:
+
+- ``engine="csr"`` (default): per-block CSR SpMV via a cogrouped
+  ``applyInPandas`` — ranks and CSR blocks meet on ``block = src % P``;
+  contributions are pre-aggregated by dst INSIDE each block (NumPy bincount
+  = map-side combine; equivalently a salted two-phase aggregate with the
+  src-block as salt), so the global ``groupBy(dst).sum`` sees ≤ P rows per
+  key no matter how extreme the hub skew.
+- ``engine="dataframe"``: pure Catalyst plan — join + explicit salted
+  two-phase aggregation — kept as a cross-check and a plan the optimizer
+  can reason about end-to-end.
+
+Each superstep runs exactly one action (a per-block metrics aggregate that
+also yields the L1 delta and next dangling mass), then optionally persists
+state + manifest through the CheckpointManager (resume contract).
+
+Float64 throughout; scores sum to 1 at convergence like the reference.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..checkpointing import CheckpointManager, SuperstepCheckpoint
+from ..graph.csr import block_of, compile_csr
+
+
+def sanitize_reset(reset_df: DataFrame) -> DataFrame:
+    """NaN / negative reset entries → 0 (``HippoRAG.py:1598``)."""
+    v = F.col("weight").cast("double")
+    clean = F.when(F.isnan(v) | v.isNull() | (v < 0), F.lit(0.0)).otherwise(v)
+    return reset_df.select("id", clean.alias("weight"))
+
+
+def _prep_reset(vertex_ids: DataFrame, n: int, reset_df: DataFrame | None) -> DataFrame:
+    """Normalized reset probabilities as ``(id, reset)``, Σ=1.
+
+    Zero / absent reset → uniform (SimpleGraph.kt:139-140). The returned
+    frame is sparse (only nonzero entries) and usually tiny → broadcast at
+    the join site.
+    """
+    if reset_df is not None:
+        clean = sanitize_reset(reset_df).filter(F.col("weight") > 0)
+        total = clean.agg(F.sum("weight")).collect()[0][0]
+        if total and total > 0:
+            return clean.select("id", (F.col("weight") / F.lit(float(total))).alias("reset"))
+    return vertex_ids.select("id", F.lit(1.0 / n).alias("reset"))
+
+
+def _spmv_csr(ranks_blocked, csr, damping: float, schema="dst long, partial double"):
+    """Cogrouped per-block SpMV with in-block dst pre-aggregation."""
+
+    def kernel(ranks_pdf: pd.DataFrame, csr_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ranks_pdf) == 0 or len(csr_pdf) == 0:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
+        rid = ranks_pdf["id"].to_numpy()
+        rval = ranks_pdf["value"].to_numpy()
+        order = np.argsort(rid, kind="mergesort")
+        rid, rval = rid[order], rval[order]
+        outs = []
+        for _, row in csr_pdf.iterrows():
+            src_ids = np.asarray(row["src_ids"], dtype=np.int64)
+            indptr = np.asarray(row["indptr"], dtype=np.int64)
+            dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+            w_norm = np.asarray(row["w_norm"], dtype=np.float64)
+            pos = np.searchsorted(rid, src_ids)
+            pos_c = np.clip(pos, 0, len(rid) - 1)
+            hit = rid[pos_c] == src_ids
+            src_val = np.where(hit, rval[pos_c], 0.0)
+            edge_val = np.repeat(src_val, np.diff(indptr))
+            contrib = damping * edge_val * w_norm
+            # in-block combine by dst (the salt phase of the two-phase agg)
+            uniq_dst, inv = np.unique(dst_ids, return_inverse=True)
+            sums = np.bincount(inv, weights=contrib)
+            nz = sums != 0.0
+            outs.append(pd.DataFrame({"dst": uniq_dst[nz], "partial": sums[nz]}))
+        if not outs:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return ranks_blocked.groupby("block").cogroup(csr.groupby("block")).applyInPandas(
+        lambda left, right: kernel(left, right), schema=schema
+    )
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    adj: DataFrame,
+    strength_df: DataFrame,
+    vertex_ids: DataFrame,
+    n_vertices: int | None = None,
+    reset_df: DataFrame | None = None,
+    damping: float = 0.5,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_blocks: int | None = None,
+    engine: str = "csr",
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    csr: DataFrame | None = None,
+    salt_buckets: int = 16,
+) -> tuple[DataFrame, list[dict]]:
+    """Run PPR to convergence; returns (ranks ``(id, value)``, lineage).
+
+    ``checkpoint_dir`` enables per-superstep durability + resume: if a prior
+    run under the same ``run_id`` left complete supersteps, iteration
+    continues from the latest one.
+    """
+    n = n_vertices if n_vertices is not None else vertex_ids.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, value double"), []
+    P = num_blocks or spark.sparkContext.defaultParallelism
+
+    reset = _prep_reset(vertex_ids, n, reset_df).persist()
+    # dangling set: vertices with zero strength (SimpleGraph.kt:158-165);
+    # its rank mass is tracked as a DRIVER scalar, updated inside each
+    # superstep's single metrics action (no extra job per iteration)
+    dangling_ids = vertex_ids.join(
+        strength_df.filter(F.col("strength") > 0), "id", "left_anti"
+    ).persist()
+    n_dangling = dangling_ids.count()
+
+    if engine == "csr":
+        if csr is None:
+            csr = compile_csr(adj, strength_df, P)
+    else:
+        adj_norm = (
+            adj.join(strength_df, adj.src == strength_df.id)
+            .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm"))
+            .persist()
+        )
+
+    ckpt = None
+    start_step = 0
+    ranks = vertex_ids.select("id", F.lit(1.0 / n).alias("value"))
+    dangling_mass = n_dangling / n  # init ranks are uniform
+    lineage: list[dict] = []
+    if checkpoint_dir is not None:
+        ckpt = CheckpointManager(checkpoint_dir, run_id or uuid.uuid4().hex[:12])
+        latest = ckpt.latest_complete()
+        if latest is not None:
+            ranks, manifest = ckpt.load(spark, latest)
+            lineage = ckpt.lineage()
+            if manifest.get("converged"):
+                return ranks, lineage
+            start_step = latest + 1
+            dangling_mass = manifest["dangling_mass"]
+    ranks = ranks.persist()
+
+    converged = False
+    for step in range(start_step, max_iter):
+        t0 = time.time()
+        if engine == "csr":
+            ranks_blocked = ranks.withColumn("block", block_of(F.col("id"), P))
+            partials = _spmv_csr(ranks_blocked, csr, damping)
+            contrib = partials.groupBy("dst").agg(F.sum("partial").alias("contrib"))
+        else:
+            contribs = adj_norm.join(ranks, adj_norm.src == ranks.id).select(
+                "dst",
+                (F.lit(damping) * F.col("value") * F.col("w_norm")).alias("c"),
+                F.pmod(F.col("src"), F.lit(salt_buckets)).alias("salt"),
+            )
+            # explicit salted two-phase aggregation (hub-dst skew mitigation)
+            contrib = (
+                contribs.groupBy("dst", "salt")
+                .agg(F.sum("c").alias("c1"))
+                .groupBy("dst")
+                .agg(F.sum("c1").alias("contrib"))
+            )
+
+        base = (1.0 - damping) + damping * dangling_mass
+        new_ranks = (
+            contrib.withColumnRenamed("dst", "id")
+            .join(reset, "id", "full_outer")
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(base) * F.coalesce(F.col("reset"), F.lit(0.0))
+                ).alias("value"),
+            )
+            .persist()
+        )
+
+        # SINGLE action per superstep: per-block metrics + L1 delta + the
+        # NEXT superstep's dangling mass, in one aggregate
+        joined = (
+            ranks.select("id", F.col("value").alias("old"))
+            .join(new_ranks.select("id", F.col("value").alias("new")), "id", "full_outer")
+            .join(dangling_ids.select("id", F.lit(1).alias("is_dangling")), "id", "left_outer")
+        )
+        metrics_rows = (
+            joined.withColumn("block", block_of(F.col("id"), P))
+            .groupBy("block")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.abs(F.coalesce(F.col("new"), F.lit(0.0)) - F.coalesce(F.col("old"), F.lit(0.0)))).alias("delta"),
+                F.sum(F.coalesce(F.col("new"), F.lit(0.0))).alias("mass"),
+                F.sum(
+                    F.when(F.col("is_dangling") == 1, F.coalesce(F.col("new"), F.lit(0.0))).otherwise(0.0)
+                ).alias("dangling_mass"),
+            )
+            .collect()
+        )
+        delta = float(sum(r["delta"] for r in metrics_rows))
+        dangling_mass = float(sum(r["dangling_mass"] for r in metrics_rows))
+        wall_ms = (time.time() - t0) * 1000
+        converged = delta < tol
+
+        meta = SuperstepCheckpoint(
+            run_id=ckpt.run_id if ckpt else "in-memory",
+            superstep=step,
+            delta=delta,
+            converged=converged,
+            wall_ms=wall_ms,
+            partitions=[
+                {"block": r["block"], "rows": r["rows"], "delta": r["delta"], "mass": r["mass"]}
+                for r in metrics_rows
+            ],
+            extra={
+                "engine": engine,
+                "damping": damping,
+                "n_vertices": n,
+                "dangling_mass": dangling_mass,
+            },
+        )
+        old = ranks
+        if ckpt is not None:
+            # parquet write/read truncates lineage AND is the durability point
+            ranks = ckpt.write(new_ranks, meta)
+            new_ranks.unpersist()
+        else:
+            # EAGER lineage truncation every superstep: without it the
+            # logical plan grows by one join+agg layer per iteration and
+            # Catalyst re-analysis goes quadratic (observed: ~100 stages per
+            # superstep once old caches are dropped)
+            ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks.unpersist()
+        old.unpersist()
+        lineage.append(
+            {
+                "run_id": meta.run_id, "superstep": step, "delta": delta,
+                "converged": converged, "wall_ms": wall_ms,
+                "partitions": meta.partitions,
+            }
+        )
+        if converged:
+            break
+
+    reset.unpersist()
+    dangling_ids.unpersist()
+    return ranks, lineage

@@ -1,0 +1,692 @@
+"""Driver correctness-gate queries over /root/testdata tables.
+
+Each entry pairs a Spark DataFrame builder (the engine's operators run
+against the driver's parquet tables) with an equivalent DuckDB ANSI-SQL
+oracle. Column names and value rounding are aligned on both sides because
+the driver hash-compares sorted values.
+
+The graph tables are derived deterministically from ``documents``:
+
+- *doc-word bipartite graph*: passage node = ``chunk-md5(text)``, entity
+  node = ``entity-md5(word)`` for words longer than 3 chars (the passage-
+  edge analog of ``HippoRAG.py:809-817``).
+- *word co-occurrence graph*: adjacent-word triples ``(w_i, 'next',
+  w_i+1)`` (the fact-edge analog of ``HippoRAG.py:756-772``).
+
+Iterative algorithms (PPR / CC over generic graphs) are not expressible in
+ANSI SQL — they appear in ``queries()`` without an oracle (driver records a
+rows-only check) and carry exact NetworkX/NumPy oracles in ``tests/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------- documents → extraction-shaped DataFrame ----------
+
+def doc_extraction(documents: DataFrame) -> DataFrame:
+    """documents → (chunk_id, passage, entities, triples) with
+    entities = distinct words len>3, triples = adjacent-word pairs."""
+    w = F.split(F.lower(F.col("text")), " ")
+    ents = F.array_sort(
+        F.array_distinct(F.filter(w, lambda x: F.length(x) > 3))
+    )
+    n = F.size(w)
+    triples = F.when(n < 2, F.array().cast("array<struct<s:string,p:string,o:string>>")).otherwise(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.element_at(w, (i + 1).cast("int")).alias("s"),
+                        F.lit("next").alias("p"),
+                        F.element_at(w, (i + 2).cast("int")).alias("o"),
+                    ),
+                ),
+                lambda t: (F.length(t["s"]) > 0) & (F.length(t["o"]) > 0),
+            )
+        )
+    )
+    return documents.select(
+        F.concat(F.lit("chunk-"), F.md5("text")).alias("chunk_id"),
+        F.col("text").alias("passage"),
+        ents.alias("entities"),
+        triples.alias("triples"),
+    )
+
+
+# ---------- graph queries ----------
+
+def q_passage_edges(spark, sf_dir):
+    from .graph.build import passage_edges
+
+    docs = load(spark, sf_dir, "documents")
+    return passage_edges(doc_extraction(docs)).select("src", "dst", "weight", "etype")
+
+
+SQL_PASSAGE_EDGES = """
+SELECT 'chunk-' || md5(text) AS src,
+       'entity-' || md5(w) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight,
+       'passage' AS etype
+FROM (
+  SELECT text, unnest(list_sort(list_distinct(
+           list_filter(string_split(lower(text), ' '), x -> length(x) > 3)))) AS w
+  FROM documents
+)
+"""
+
+
+def q_fact_edges(spark, sf_dir):
+    from .graph.build import fact_edges
+
+    docs = load(spark, sf_dir, "documents")
+    return fact_edges(doc_extraction(docs)).select("src", "dst", "weight", "etype")
+
+
+SQL_FACT_EDGES = """
+WITH trips AS (
+  SELECT DISTINCT doc_id, s, o FROM (
+    SELECT doc_id, l[i] AS s, l[i+1] AS o
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+         LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+  ) WHERE length(s) > 0 AND length(o) > 0
+), pairs AS (
+  SELECT 'entity-' || md5(s) AS a, 'entity-' || md5(o) AS b FROM trips
+  WHERE 'entity-' || md5(s) <> 'entity-' || md5(o)
+), both_dir AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+)
+SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight, 'fact' AS etype
+FROM both_dir GROUP BY src, dst
+"""
+
+
+def q_cc_star(spark, sf_dir):
+    """Connected components of the customer↔order star forest (exact)."""
+    from .algo.components import connected_components
+
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("o_orderkey") * 2 + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    from .graph.build import adjacency
+
+    adj = adjacency(edges)
+    vids = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp, _ = connected_components(spark, adj, vids, num_blocks=8)
+    return comp.select(F.col("id").alias("vertex"), "component").orderBy("vertex")
+
+
+SQL_CC_STAR = """
+WITH comp AS (
+  SELECT o_custkey, least(o_custkey * 2, min(o_orderkey) * 2 + 1) AS component
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey * 2 AS vertex, any_value(component) AS component
+FROM orders JOIN comp USING (o_custkey) GROUP BY o_custkey
+UNION ALL
+SELECT o_orderkey * 2 + 1 AS vertex, component
+FROM orders JOIN comp USING (o_custkey)
+ORDER BY vertex
+"""
+
+
+def q_triangles_words(spark, sf_dir):
+    """Global triangle count of the word co-occurrence graph (string ids)."""
+    from .algo.triangles import global_triangle_count
+    from .graph.build import adjacency
+
+    docs = load(spark, sf_dir, "documents")
+    ex = doc_extraction(docs)
+    t = ex.select(F.explode("triples").alias("t")).select(
+        F.col("t.s").alias("a"), F.col("t.o").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    staged = t.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight"))
+    return global_triangle_count(adjacency(staged)).select(
+        F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+SQL_TRIANGLES_WORDS = """
+WITH trips AS (
+  SELECT DISTINCT doc_id, s, o FROM (
+    SELECT doc_id, l[i] AS s, l[i+1] AS o
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+         LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+  ) WHERE length(s) > 0 AND length(o) > 0 AND s <> o
+), und AS (
+  SELECT DISTINCT least(s, o) AS src, greatest(s, o) AS dst FROM trips
+), deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT src AS id FROM und UNION ALL SELECT dst AS id FROM und
+  ) GROUP BY id
+), oriented AS (
+  SELECT CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.src ELSE e.dst END AS u,
+         CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.dst ELSE e.src END AS v
+  FROM und e
+  JOIN deg ds ON ds.id = e.src
+  JOIN deg dd ON dd.id = e.dst
+)
+SELECT count(*) AS triangles
+FROM oriented e1
+JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+WHERE EXISTS (SELECT 1 FROM oriented o WHERE (o.u = e1.v AND o.v = e2.v)
+                                          OR (o.u = e2.v AND o.v = e1.v))
+"""
+
+
+def q_ppr_docs(spark, sf_dir):
+    """PPR over the doc-word bipartite graph (no SQL oracle — iterative;
+    exact oracles live in tests/test_algorithms.py). Top-100 vertices."""
+    from .algo.ppr import personalized_pagerank
+    from .graph.build import adjacency, build_graph, strength
+
+    docs = load(spark, sf_dir, "documents")
+    ex = doc_extraction(docs)
+    from .graph.build import fact_edges, passage_edges, resolve_edges, vertices
+
+    staged = fact_edges(ex).unionByName(passage_edges(ex))
+    verts = vertices(ex).persist()
+    edges = resolve_edges(staged, verts)
+    adj = adjacency(edges).persist()
+    st = strength(adj)
+    n = verts.count()
+    # deterministic reset: the 3 lowest-id entity vertices
+    ids = [
+        r["id"]
+        for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(3).collect()
+    ]
+    reset = spark.createDataFrame([(int(i), 1.0) for i in ids], "id long, weight double")
+    ranks, _ = personalized_pagerank(
+        spark, adj, st, verts.select("id"), n_vertices=n, reset_df=reset, num_blocks=8
+    )
+    return (
+        ranks.join(verts.select("id", "name"), "id")
+        .select("name", F.round("value", 8).alias("score"))
+        .orderBy(F.desc("score"), F.asc("name"))
+        .limit(100)
+    )
+
+
+# ---------- dedup / similarity / text ----------
+
+def q_dedup_exact(spark, sf_dir):
+    from .ops.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _minhash_sql_expr(num_hashes: int, k: int) -> str:
+    sh = (
+        f"CASE WHEN len(string_split(lower(text),' ')) < {k} THEN [lower(text)] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len(string_split(lower(text),' ')) - {k - 1}), "
+        f"i -> array_to_string(list_slice(string_split(lower(text),' '), i, i + {k - 1}), ' '))) END"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5('{j}:' || s)))" for j in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from .ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents")).orderBy("doc_a", "doc_b")
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH sig AS (
+  SELECT doc_id, {_minhash_sql_expr(8, 3)} AS sig FROM documents
+), buckets AS (
+  SELECT doc_id, '0|' || sig[1] || '|' || sig[2] AS bucket FROM sig
+  UNION ALL SELECT doc_id, '1|' || sig[3] || '|' || sig[4] FROM sig
+  UNION ALL SELECT doc_id, '2|' || sig[5] || '|' || sig[6] FROM sig
+  UNION ALL SELECT doc_id, '3|' || sig[7] || '|' || sig[8] FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from .ops.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard(docs, minhash_lsh_pairs(docs)).orderBy("doc_a", "doc_b")
+
+
+_SH3 = (
+    "CASE WHEN len(string_split(lower(text),' ')) < 3 THEN [lower(text)] "
+    "ELSE list_distinct(list_transform(generate_series(1, len(string_split(lower(text),' ')) - 2), "
+    "i -> array_to_string(list_slice(string_split(lower(text),' '), i, i + 2), ' '))) END"
+)
+
+SQL_NGRAM_JACCARD = f"""
+WITH sig AS (
+  SELECT doc_id, {_minhash_sql_expr(8, 3)} AS sig FROM documents
+), buckets AS (
+  SELECT doc_id, '0|' || sig[1] || '|' || sig[2] AS bucket FROM sig
+  UNION ALL SELECT doc_id, '1|' || sig[3] || '|' || sig[4] FROM sig
+  UNION ALL SELECT doc_id, '2|' || sig[5] || '|' || sig[6] FROM sig
+  UNION ALL SELECT doc_id, '3|' || sig[7] || '|' || sig[8] FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, {_SH3} AS sh FROM documents
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from .ops.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# hex16(s): first-4-hex-chars of md5 → int, via char-wise strpos (DuckDB has
+# no hex→int cast); identical to Spark's conv(substr(md5,1,4),16,10)
+_HEX16 = (
+    "((strpos('0123456789abcdef', substr(md5(word),1,1))-1)*4096"
+    " + (strpos('0123456789abcdef', substr(md5(word),2,1))-1)*256"
+    " + (strpos('0123456789abcdef', substr(md5(word),3,1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(md5(word),4,1))-1))"
+)
+
+SQL_SIMHASH = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS word
+  FROM documents
+), wh AS (
+  SELECT doc_id, CAST({_HEX16} AS BIGINT) AS h FROM w
+), votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh, LATERAL unnest(generate_series(0, 15)) AS t(bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from .ops.dedup import embedding_near_dup
+
+    return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.3).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) >= 0.3
+ORDER BY vec_a, vec_b
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    from .ops.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    ).orderBy("query_id", "rank")
+
+
+SQL_ANN_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
+         round(list_sum(list_transform(generate_series(1, 64),
+               p -> CAST(i.embedding[p] AS DOUBLE) * CAST(q.embedding[p] AS DOUBLE))), 6) AS score
+  FROM embeddings i
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+  WHERE i.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    from .ops.textstats import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_tokens,
+       CAST(len(list_distinct(words)) AS INT) AS n_distinct_tokens,
+       round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6)
+         AS avg_token_len,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM w ORDER BY doc_id
+"""
+
+
+def q_quality(spark, sf_dir):
+    from .ops.textstats import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+SQL_QUALITY = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_words,
+       round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS type_token_ratio,
+       round(CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             / len(words), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       round(least(length(text) / 500.0, 1.0), 6) AS length_score
+FROM w ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from .ops.textstats import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    from .ops.textstats import LANG_MARKERS
+
+    structs = []
+    for i, (lang, ms) in enumerate(sorted(LANG_MARKERS.items())):
+        mlist = ", ".join(f"'{m}'" for m in ms)
+        structs.append(
+            f"{{'hits': len(list_filter(words, x -> x IN ({mlist}))), 'ord': {-i}, 'lang': '{lang}'}}"
+        )
+    arr = ", ".join(structs)
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS words
+  FROM documents
+), best AS (
+  SELECT doc_id, list_max([{arr}]) AS b FROM w
+)
+SELECT doc_id, b['lang'] AS predicted_lang, CAST(b['hits'] AS INT) AS hits FROM best ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from .ops.textstats import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = f"""
+WITH w AS (
+  SELECT doc_id, words[i] AS word, CAST(i - 1 AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS words
+    FROM documents
+  ), LATERAL unnest(generate_series(1, len(words))) AS t(i)
+)
+SELECT doc_id,
+       CAST(sum(CAST({_HEX16} AS BIGINT)
+           * CAST(power(7, pos % 11) AS BIGINT)) AS BIGINT) AS fingerprint
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------- relational primitives (SURVEY.md §2.4) ----------
+
+def q_rel_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_REL_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+"""
+
+
+def q_rel_join_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "c_name", "revenue", "rk")
+        .orderBy("n_name", "rk")
+    )
+
+
+SQL_REL_JOIN_TOPK = """
+WITH rev AS (
+  SELECT n_name, c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey, c_name
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rk
+  FROM rev
+)
+SELECT n_name, c_custkey, c_name, revenue, rk FROM ranked WHERE rk <= 3 ORDER BY n_name, rk
+"""
+
+
+def q_rel_minmax(spark, sf_dir):
+    """The reference's min-max normalize (misc_utils.py:104-113, constant →
+    all ones) applied per event_type over events.value."""
+    from .retrieval.scoring import minmax
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        minmax(ev, "value", "norm", by="event_type")
+        .select("event_id", "event_type", F.round("norm", 6).alias("norm"))
+        .orderBy("event_id")
+    )
+
+
+SQL_REL_MINMAX = """
+SELECT event_id, event_type,
+       round(CASE WHEN max(value) OVER (PARTITION BY event_type)
+                       - min(value) OVER (PARTITION BY event_type) = 0 THEN 1.0
+             ELSE (value - min(value) OVER (PARTITION BY event_type))
+                  / (max(value) OVER (PARTITION BY event_type)
+                     - min(value) OVER (PARTITION BY event_type)) END, 6) AS norm
+FROM events ORDER BY event_id
+"""
+
+
+def q_rel_anti_semi(spark, sf_dir):
+    """Anti+semi join primitives: customers with vs without orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with_orders = c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+    without = c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+    return with_orders.agg(F.count("*").alias("n")).withColumn("kind", F.lit("with_orders")).unionAll(
+        without.agg(F.count("*").alias("n")).withColumn("kind", F.lit("without_orders"))
+    ).select("kind", "n").orderBy("kind")
+
+
+SQL_REL_ANTI_SEMI = """
+SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'without_orders', count(*) FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY kind
+"""
+
+
+# ---------- multimodal (mapInPandas plumbing; SQL-checkable projection) ----------
+
+def q_multimodal(spark, sf_dir):
+    from .ops.multimodal import attach_fake_media, extract_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    feats = extract_features(media, dim=16)
+    return feats.select("media_id", "kind", "n_bytes").orderBy("media_id")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+
+def q_knn_blocked(spark, sf_dir):
+    """The blocked cogroup KNN kernel (retrieval/knn.py) over the
+    embeddings table: top-5 cosine neighbors for vec_id < 50."""
+    from .retrieval.knn import knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    items = emb.select(F.col("vec_id").cast("string").alias("key"), "embedding")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+    out = knn(queries, items, k=5, num_blocks=8, exclude_self=True)
+    return out.select(
+        F.col("query_key").cast("long").alias("query_id"),
+        F.col("item_key").cast("long").alias("vec_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+SQL_KNN_BLOCKED = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
+         round(list_sum(list_transform(generate_series(1, 64),
+               p -> CAST(i.embedding[p] AS DOUBLE) * CAST(q.embedding[p] AS DOUBLE))), 6) AS score
+  FROM embeddings i
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) q
+  WHERE i.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def all_queries() -> dict:
+    return {
+        "passage_edges": q_passage_edges,
+        "fact_edges": q_fact_edges,
+        "connected_components_star": q_cc_star,
+        "triangle_count_words": q_triangles_words,
+        "ppr_docs": q_ppr_docs,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_bruteforce_topk": q_ann_topk,
+        "knn_blocked_cogroup": q_knn_blocked,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "rel_groupby_agg": q_rel_agg,
+        "rel_join_window_topk": q_rel_join_topk,
+        "rel_minmax_normalize": q_rel_minmax,
+        "rel_anti_semi_join": q_rel_anti_semi,
+        "multimodal_features": q_multimodal,
+    }
+
+
+def all_oracles() -> dict:
+    return {
+        "passage_edges": SQL_PASSAGE_EDGES,
+        "fact_edges": SQL_FACT_EDGES,
+        "connected_components_star": SQL_CC_STAR,
+        "triangle_count_words": SQL_TRIANGLES_WORDS,
+        # ppr_docs: iterative — rows-only check; NetworkX oracle in tests/
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "simhash": SQL_SIMHASH,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "ann_bruteforce_topk": SQL_ANN_TOPK,
+        "knn_blocked_cogroup": SQL_KNN_BLOCKED,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_score": SQL_QUALITY,
+        "lang_id": _lang_sql(),
+        "fingerprint": SQL_FINGERPRINT,
+        "rel_groupby_agg": SQL_REL_AGG,
+        "rel_join_window_topk": SQL_REL_JOIN_TOPK,
+        "rel_minmax_normalize": SQL_REL_MINMAX,
+        "rel_anti_semi_join": SQL_REL_ANTI_SEMI,
+        "multimodal_features": SQL_MULTIMODAL,
+    }

@@ -1,0 +1,228 @@
+"""Engine facade: the reference's ``index`` / ``retrieve`` / ``delete``
+lifecycle (``/root/reference/src/hipporag/HippoRAG.py:218-523``) as one
+DataFrame lineage per stage.
+
+State lives in DataFrames (persist Parquet/Iceberg in production):
+
+    chunk_store / entity_store / fact_store   (hash_id, content, embedding)
+    extraction   (chunk_id, passage, entities, triples, repo, content_sha256)
+    verts        (id, name, ntype, content)
+    edges        (src, dst, weight, etype)          — id space
+    adj          (src, dst, weight)                 — symmetric, summed
+    chunk_counts (entity_name, num_chunks)          — the ent→chunk index
+
+Incremental ``index`` is hash-diff ingest: the new corpus is anti-joined
+against the existing chunk store so only new chunks are extracted
+(``embedding_store.py:63-90``, ``HippoRAG.py:238-246``); the graph is then
+rebuilt from the unioned extraction (deterministic ids must be re-minted —
+a full rebuild of the two small tables, NOT a re-extraction).
+
+``delete`` is the ref-counted cascade (``HippoRAG.py:280-361``): drop the
+chunks; drop entities/facts only when no surviving chunk references them —
+all expressed as semi/anti-joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract
+from .graph.build import adjacency, fact_edges, passage_edges, resolve_edges, strength, vertices
+from .keys import CHUNK_PREFIX, ENTITY_PREFIX, chunk_key
+from .retrieval.embeddings import embedding_store
+from .retrieval.knn import synonymy_edges
+from .retrieval.scoring import (
+    LINK_TOP_K,
+    RETRIEVAL_TOP_K,
+    build_reset,
+    passage_weights,
+    phrase_weights,
+    rank_docs,
+    score_store,
+    top_facts,
+)
+
+
+@dataclass
+class GraphState:
+    extraction: DataFrame
+    verts: DataFrame
+    edges: DataFrame
+    adj: DataFrame
+    strength: DataFrame
+    chunk_store: DataFrame
+    entity_store: DataFrame
+    fact_store: DataFrame
+    chunk_counts: DataFrame
+    n_vertices: int
+
+
+class LinkGraphEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        enable_synonymy: bool = False,
+        num_blocks: int | None = None,
+    ):
+        self.spark = spark
+        self.enable_synonymy = enable_synonymy
+        self.num_blocks = num_blocks or spark.sparkContext.defaultParallelism
+        self.state: GraphState | None = None
+
+    # ---------------- index ----------------
+
+    def index(self, repo_files: DataFrame) -> GraphState:
+        """Build or extend the graph from a ``(repo, path, commit, lang,
+        content, content_sha256)`` table."""
+        new_ex = extract(repo_files)
+        if self.state is not None:
+            # hash-diff incremental ingest: only chunks not yet indexed
+            new_ex = new_ex.join(
+                self.state.extraction.select("chunk_id"), "chunk_id", "left_anti"
+            )
+            extraction = self.state.extraction.unionByName(new_ex)
+        else:
+            extraction = new_ex
+        return self._build_state(extraction.dropDuplicates(["chunk_id"]))
+
+    def delete(self, contents: list[str]) -> GraphState:
+        """Ref-counted cascade delete of chunks by content
+        (``HippoRAG.py:280-361``): surviving extraction drives a rebuild, so
+        entities/facts referenced only by deleted chunks disappear exactly
+        like the reference's refcount logic."""
+        assert self.state is not None
+        doomed = self.spark.createDataFrame([(c,) for c in contents], "content string").select(
+            chunk_key("content").alias("chunk_id")
+        )
+        surviving = self.state.extraction.join(doomed, "chunk_id", "left_anti")
+        return self._build_state(surviving)
+
+    def _build_state(self, extraction: DataFrame) -> GraphState:
+        extraction = extraction.persist()
+        ents = extraction.select(F.explode("entities").alias("content")).distinct()
+        entity_store = embedding_store(ents, "content", ENTITY_PREFIX).persist()
+        chunk_store = embedding_store(
+            extraction.select("passage"), "passage", CHUNK_PREFIX
+        ).persist()
+        facts = (
+            extraction.select(F.explode("triples").alias("t"))
+            .select(
+                F.to_json(F.struct(F.col("t.s"), F.col("t.p"), F.col("t.o"))).alias("fact_text"),
+                F.col("t.s").alias("subj"),
+                F.col("t.o").alias("obj"),
+            )
+            .dropDuplicates(["fact_text"])
+        )
+        fact_store = embedding_store(facts.select("fact_text"), "fact_text", "fact-").persist()
+
+        staged = fact_edges(extraction).unionByName(passage_edges(extraction))
+        if self.enable_synonymy:
+            staged = staged.unionByName(
+                synonymy_edges(entity_store, num_blocks=self.num_blocks)
+            )
+        verts = vertices(extraction).persist()
+        edges = resolve_edges(staged, verts).persist()
+        adj = adjacency(edges).persist()
+        st = strength(adj).persist()
+
+        # entity → #chunks inverted index (only the cardinality is used:
+        # HippoRAG.py:1463-1464 / SURVEY.md §1.3)
+        from .keys import entity_key
+
+        chunk_counts = (
+            extraction.select("chunk_id", F.explode("entities").alias("phrase"))
+            .select("chunk_id", entity_key("phrase").alias("entity_name"))
+            .groupBy("entity_name")
+            .agg(F.countDistinct("chunk_id").alias("num_chunks"))
+            .persist()
+        )
+        self.state = GraphState(
+            extraction=extraction,
+            verts=verts,
+            edges=edges,
+            adj=adj,
+            strength=st,
+            chunk_store=chunk_store,
+            entity_store=entity_store,
+            fact_store=fact_store,
+            chunk_counts=chunk_counts,
+            n_vertices=verts.count(),
+        )
+        return self.state
+
+    # ---------------- retrieve ----------------
+
+    def fact_table(self) -> DataFrame:
+        """(hash_id, subj_key, obj_key) for reset building."""
+        from .keys import entity_key
+
+        s = self.state
+        facts = (
+            s.extraction.select(F.explode("triples").alias("t"))
+            .select(
+                F.to_json(F.struct(F.col("t.s"), F.col("t.p"), F.col("t.o"))).alias("fact_text"),
+                entity_key(F.col("t.s")).alias("subj_key"),
+                entity_key(F.col("t.o")).alias("obj_key"),
+            )
+            .dropDuplicates(["fact_text"])
+        )
+        return facts.select(
+            F.concat(F.lit("fact-"), F.md5("fact_text")).alias("hash_id"),
+            "subj_key",
+            "obj_key",
+        )
+
+    def retrieve(
+        self,
+        queries: list[str],
+        link_top_k: int = LINK_TOP_K,
+        retrieval_top_k: int = RETRIEVAL_TOP_K,
+        damping: float = 0.5,
+        checkpoint_dir: str | None = None,
+    ) -> DataFrame:
+        """Multi-query PPR retrieval → ``(query_id, chunk_id, score, rank)``.
+
+        Queries are embedded driver-side (same deterministic encoder as the
+        stores), scored against fact + passage stores in one batched pass,
+        then each query's PPR runs over the shared CSR blocks.
+        """
+        from .algo.ppr import personalized_pagerank
+        from .graph.csr import compile_csr
+        from .retrieval.embeddings import embed_text
+
+        s = self.state
+        assert s is not None, "index() first"
+        qembs = [(q, embed_text(q).tolist()) for q in queries]
+
+        fact_scores = score_store(s.fact_store, qembs)
+        tf = top_facts(fact_scores, link_top_k)
+        pw = phrase_weights(tf, self.fact_table(), s.chunk_counts, link_top_k)
+        dpr = score_store(s.chunk_store, qembs)
+        resets = build_reset(pw, passage_weights(dpr), s.verts).persist()
+
+        csr = compile_csr(s.adj, s.strength, self.num_blocks)
+        vids = s.verts.select("id")
+        out = None
+        for q in queries:
+            reset_q = resets.filter(F.col("query_id") == q).select(
+                "id", F.col("weight")
+            )
+            ranks, _ = personalized_pagerank(
+                self.spark,
+                s.adj,
+                s.strength,
+                vids,
+                n_vertices=s.n_vertices,
+                reset_df=reset_q,
+                damping=damping,
+                num_blocks=self.num_blocks,
+                csr=csr,
+                checkpoint_dir=checkpoint_dir,
+                run_id=None,
+            )
+            rq = ranks.withColumn("query_id", F.lit(q))
+            out = rq if out is None else out.unionByName(rq)
+        return rank_docs(out, s.verts, retrieval_top_k)

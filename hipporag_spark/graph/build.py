@@ -1,0 +1,157 @@
+"""Edge + vertex table construction (the reference's ``node_to_node_stats``
+and igraph vertex set, re-expressed as DataFrames).
+
+Reference semantics reproduced (citations per SURVEY.md §1.2/§2.2):
+
+- **Fact edges** (``HippoRAG.py:729-775``): per chunk, per triple (s,p,o),
+  weight +1.0 to BOTH directed pairs (h(s),h(o)) and (h(o),h(s)); keys are
+  md5 of the text-processed phrase with prefix ``entity-``.
+- **Passage edges** (``HippoRAG.py:777-819``): one edge
+  (chunk_key, entity_key, 1.0) per unique entity per chunk.
+- **Synonymy edges** (``HippoRAG.py:821-882``): KNN over entity embeddings,
+  cosine ≥ 0.8, ≤100 neighbors, query phrase >2 alphanumeric chars — built in
+  retrieval/knn.py and unioned in here.
+- **Edge load** (``HippoRAG.py:1052-1086``): self-loops dropped, edges with
+  unknown endpoints dropped (semi-join both endpoints).
+- **Vertex load** (``HippoRAG.py:1022-1050``): union of entity + chunk key
+  sets; igraph sums parallel-edge weights into vertex strength, so the
+  effective symmetric adjacency is W[u,v] = Σ all edge weights between u,v
+  (SURVEY.md §1.2) — materialized here by :func:`adjacency`.
+
+Scale notes: every step is a narrow projection, an `explode`, or a keyed
+aggregation; the only shuffles are the groupBy(src,dst) weight sums and the
+dense-id sort. No driver-side data structures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..keys import CHUNK_PREFIX, ENTITY_PREFIX, chunk_key, entity_key
+from .ids import assign_dense_ids
+
+
+def fact_edges(extraction: DataFrame) -> DataFrame:
+    """Entity↔entity co-occurrence edges: ``(src_key, dst_key, weight, etype)``.
+
+    Both directions get +1.0 per triple occurrence (``HippoRAG.py:766-772``);
+    the weight accumulation across chunks is the groupBy sum. Self-pairs are
+    dropped (``HippoRAG.py:1064`` drops them at load; dropping early saves
+    shuffle volume).
+    """
+    t = extraction.select(F.explode("triples").alias("t"))
+    pairs = t.select(
+        entity_key(F.col("t.s")).alias("a"), entity_key(F.col("t.o")).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    both = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return (
+        both.groupBy("src", "dst")
+        .agg(F.sum(F.lit(1.0)).alias("weight"))
+        .withColumn("etype", F.lit("fact"))
+    )
+
+
+def passage_edges(extraction: DataFrame) -> DataFrame:
+    """Passage→entity edges, weight 1.0 per unique entity per chunk
+    (``HippoRAG.py:809-817``). ``entities`` is already per-chunk unique."""
+    e = extraction.select(
+        F.col("chunk_id").alias("src"), F.explode("entities").alias("phrase")
+    )
+    return e.select(
+        "src", entity_key("phrase").alias("dst"), F.lit(1.0).alias("weight")
+    ).withColumn("etype", F.lit("passage"))
+
+
+def vertices(extraction: DataFrame, edges: DataFrame | None = None) -> DataFrame:
+    """Vertex table ``(id: long, name: string, ntype, content)``.
+
+    name = content-addressed key (the igraph vertex ``name`` attribute,
+    ``HippoRAG.py:1040-1050``); ntype from the key prefix; dense determinstic
+    ids via global-rank assignment (ids.py).
+    """
+    ents = (
+        extraction.select(F.explode("entities").alias("content"))
+        .distinct()
+        .select(
+            entity_key("content").alias("name"),
+            F.lit("entity").alias("ntype"),
+            "content",
+        )
+    )
+    chunks = extraction.select(
+        F.col("chunk_id").alias("name"),
+        F.lit("passage").alias("ntype"),
+        F.col("passage").alias("content"),
+    ).dropDuplicates(["name"])
+    v = ents.unionByName(chunks)
+    return assign_dense_ids(v, "name")
+
+
+def resolve_edges(edge_keys: DataFrame, verts: DataFrame) -> DataFrame:
+    """Key-space edges → id-space ``edges(src: long, dst: long, weight, etype)``.
+
+    Joining to the vertex table doubles as endpoint validation: unknown
+    endpoints drop out (inner join ≡ the semi-join check at
+    ``HippoRAG.py:1075-1077``). Self-loops already dropped at build.
+    """
+    vs = verts.select("name", "id")
+    return (
+        edge_keys.join(
+            vs.select(F.col("name").alias("src"), F.col("id").alias("src_id")), "src"
+        )
+        .join(vs.select(F.col("name").alias("dst"), F.col("id").alias("dst_id")), "dst")
+        .select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), "weight", "etype"
+        )
+    )
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """Symmetric weighted adjacency ``adj(src, dst, weight)``.
+
+    The reference's graph is undirected with parallel edges summed into
+    strength (igraph; SURVEY.md §1.2): each undirected edge {u,v} of total
+    weight w contributes w to BOTH adjacency rows (u,v) and (v,u) — exactly
+    the Kotlin reference adjacency build (``SimpleGraph.kt:141-148``).
+    """
+    sym = edges.select("src", "dst", "weight").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return sym.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+
+def strength(adj: DataFrame) -> DataFrame:
+    """Vertex strength = Σ incident weights (PPR out-normalizer,
+    ``SimpleGraph.kt:150-153``)."""
+    return adj.groupBy("src").agg(F.sum("weight").alias("strength")).withColumnRenamed("src", "id")
+
+
+def build_graph(extraction: DataFrame, synonymy: DataFrame | None = None):
+    """Full build: extraction → (vertices, edges, adjacency).
+
+    ``synonymy`` is an optional pre-built key-space edge table
+    (retrieval/knn.synonymy_edges) unioned before resolution.
+    """
+    staged = fact_edges(extraction).unionByName(passage_edges(extraction))
+    if synonymy is not None:
+        staged = staged.unionByName(synonymy)
+    verts = vertices(extraction).persist()
+    edges = resolve_edges(staged, verts).persist()
+    adj = adjacency(edges).persist()
+    return verts, edges, adj
+
+
+def graph_info(verts: DataFrame, edges: DataFrame) -> dict:
+    """Node/edge counts by class (``HippoRAG.py:1095-1148``)."""
+    vc = {r["ntype"]: r["count"] for r in verts.groupBy("ntype").count().collect()}
+    ec = {r["etype"]: r["count"] for r in edges.groupBy("etype").count().collect()}
+    return {
+        "num_phrase_nodes": vc.get("entity", 0),
+        "num_passage_nodes": vc.get("passage", 0),
+        "num_total_nodes": sum(vc.values()),
+        "edges_by_type": ec,
+        "num_total_edges": sum(ec.values()),
+    }

@@ -1,0 +1,200 @@
+"""Deduplication operators over a ``documents(doc_id, text, ...)`` table.
+
+The reference's only dedup is hash-diff ingest (md5 anti-join,
+``embedding_store.py:63-90``) — ``exact_dedup`` generalizes it; the rest are
+the standard large-corpus near-dup family a 100 TB training-data pipeline
+needs (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine).
+
+Everything is JVM-side built-ins (split / transform / md5 / array ops →
+whole-stage codegen, no Python), deliberately expressed so an identical
+ANSI-SQL oracle exists (see ``__spark_entry__.oracle_sql``):
+
+- MinHash here is the *lexicographic-min of per-seed md5(seed:shingle)* —
+  a valid uniform min-hash family available identically in any engine with
+  ``md5``; no engine-specific 64-bit hash, so Spark and DuckDB agree bit
+  for bit.
+- LSH: signatures are banded; docs sharing a band bucket are candidate
+  pairs. Band buckets are the shuffle keys — hot buckets (boilerplate docs)
+  are exactly the skew case, so the pair join keys on the *bucket string*,
+  which AQE skew-splits; candidate pairs are deduped before verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MINHASHES = 8
+DEFAULT_BANDS = 4  # rows per band = MINHASHES / BANDS = 2
+SHINGLE_K = 3
+
+
+def words(col):
+    return F.split(F.lower(col), " ")
+
+
+def shingles(col, k: int = SHINGLE_K):
+    """Word k-grams as strings; docs shorter than k words yield their full text."""
+    w = words(col)
+    n = F.size(w)
+    return F.when(n < k, F.array(F.lower(col))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signature(col, num_hashes: int = DEFAULT_MINHASHES, k: int = SHINGLE_K):
+    """array<string> of length ``num_hashes``: per seed j, min md5("j:"+s)."""
+    sh = F.array_distinct(shingles(col, k))
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Hash-group exact dedup: one row per distinct text.
+
+    ``(text_hash, n_docs, keeper)`` — keeper = min doc_id (deterministic).
+    """
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(doc_a, doc_b)`` sharing ≥1 LSH band."""
+    rows_per_band = num_hashes // bands
+    sig = documents.select(
+        "doc_id", minhash_signature(F.col("text"), num_hashes, k).alias("sig")
+    )
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(documents: DataFrame, pairs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    Returns ``(doc_a, doc_b, jaccard)`` rounded to 6 dp. The candidate set
+    is small relative to the corpus, so the two doc-side joins broadcast the
+    pair list when it fits.
+    """
+    sh = documents.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), k)).alias("sh")
+    )
+    j = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over word unigrams: ``(doc_id, simhash)``.
+
+    Word hash = first 4 hex chars of md5 (16-bit); bit b votes +1/-1 by
+    whether the word's bit is set, weighted by occurrence (explode keeps
+    duplicates). Fully relational: explode words × bits → two aggregations.
+    """
+    w = documents.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    w = w.filter(F.length("word") > 0).withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long")
+    )
+    wb = w.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    )
+    votes = wb.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("vote")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ≤ ``max_hamming`` of 16-bit SimHash.
+
+    Self-join blocked on the top byte (prefix blocking) to avoid the full
+    cross product; exact hamming via bit_count(xor).
+    """
+    s = sim.withColumn("blk", F.shiftright(F.col("simhash"), 8))
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "blk")
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(vec_a, vec_b, cos)``.
+
+    Brute-force within hash blocks would miss cross-block pairs, so this is
+    the exact O(n²) verify — at scale, run it on the LSH/SimHash candidate
+    set instead (compose with the operators above). Unit-norm vectors ⇒
+    cosine = dot.
+    """
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.aggregate(
+                    F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

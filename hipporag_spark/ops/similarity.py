@@ -1,0 +1,106 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, mirroring the reference's exact-KNN kernel
+(``/root/reference/src/hipporag/utils/embed_utils.py:6-94``) at pipeline
+scale:
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Expressed with ``zip_with``/``aggregate`` (JVM) so it is SQL-oracle
+  matched; the query side broadcasts.
+- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path — only
+  items sharing the query's sign-bucket are scored, trading recall for a
+  1/2^planes candidate cut. Hyperplane components are deterministic
+  pseudo-randoms derived from md5 (reproducible in any engine, no RNG
+  state).
+
+For exact KNN at corpus scale (queries == items) use
+``retrieval.knn.knn`` — the blocked cogroup matmul.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors per query: ``(query_id, vec_id, score, rank)``.
+
+    ``embeddings``: (vec_id, embedding); ``queries``: (query_id, embedding).
+    Broadcast the (small) query side; unit-norm ⇒ cosine = dot; scores
+    rounded to 6dp (oracle float stability); ties → min vec_id.
+    """
+    q = queries.select(F.col("query_id"), F.col("embedding").alias("qemb"))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("embedding"), F.col("qemb")), 6).alias("score"),
+    )
+    scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane(plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane component array (md5-derived,
+    uniform in [-1, 1])."""
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.lit(f"plane:{plane}:{d}")), 1, 8), 16, 10)
+                .cast("double")
+                / F.lit(float(0x7FFFFFFF))
+                - F.lit(1.0)
+            )
+            for d in range(dim)
+        ]
+    )
+
+
+def lsh_bucket(emb_col, num_planes: int, dim: int):
+    """Sign-pattern bucket id in [0, 2^num_planes)."""
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        bit = F.when(_dot(emb_col, hyperplane(p, dim)) >= 0, 1).otherwise(0)
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only within the query's LSH bucket.
+
+    Same output shape as ``brute_force_topk``; at 100 TB the bucket column
+    becomes the partition key of the stored index (partition-pruned scan
+    per query batch).
+    """
+    items_b = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), num_planes, dim))
+    q_b = queries.select(
+        "query_id", F.col("embedding").alias("qemb")
+    ).withColumn("bucket", lsh_bucket(F.col("qemb"), num_planes, dim))
+    scored = items_b.join(F.broadcast(q_b), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("embedding"), F.col("qemb")), 6).alias("score"),
+    )
+    scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,97 @@
+"""Text analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting. All JVM built-ins, SQL-oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# tiny marker dictionaries for the n-gram/stopword language-ID heuristic;
+# deterministic tie-break = list order
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "los", "y"],
+    "zh": ["de", "le", "shi", "bu"],
+}
+
+
+def _words(col):
+    return F.filter(F.split(F.lower(col), " "), lambda w: F.length(w) > 0)
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len) — whitespace +
+    BPE-ish subword estimate (≈ chars/4, the common rule of thumb)."""
+    w = _words(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / F.size(w),
+            6,
+        ).alias("avg_token_len"),
+        F.ceil(F.length("text") / 4).alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite quality signals per doc (length / stopword ratio /
+    type-token ratio / punctuation ratio), each in [0,1], rounded 6dp."""
+    w = _words(F.col("text"))
+    n = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
+    return documents.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(F.size(F.array_distinct(w)) / n, 6).alias("type_token_ratio"),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(F.least(F.length("text") / F.lit(500.0), F.lit(1.0)), 6).alias("length_score"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic: ``(doc_id, predicted_lang, hits)``.
+
+    Score per language = # marker-word occurrences; winner = max hits with
+    deterministic tie-break on language code order. (The synthetic corpus
+    is English-ish for every ``lang`` value — the operator's semantics, not
+    its accuracy on synthetic text, are the contract.)
+    """
+    w = _words(F.col("text"))
+    scores = [
+        F.struct(
+            F.size(F.filter(w, lambda x: x.isin(ms))).alias("hits"),
+            F.lit(-i).alias("ord"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, ms) in enumerate(sorted(LANG_MARKERS.items()))
+    ]
+    best = F.greatest(*scores)
+    return documents.select(
+        "doc_id", best["lang"].alias("predicted_lang"), best["hits"].alias("hits")
+    )
+
+
+def fingerprint(documents: DataFrame, base: int = 7, cycle: int = 11) -> DataFrame:
+    """Order-sensitive rolling document fingerprint: ``(doc_id, fingerprint)``.
+
+    fp = Σ_pos wordhash16(word) · base^(pos mod cycle) — positional weighting
+    keeps it order-sensitive while staying a plain SUM (distribution-safe,
+    no sequential scan). wordhash16 = first 4 md5 hex chars.
+    """
+    w = documents.select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word"))
+    return (
+        w.withColumn("h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long"))
+        .withColumn("pw", F.pow(F.lit(base), F.pmod(F.col("pos"), F.lit(cycle))).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("h") * F.col("pw")).alias("fingerprint"))
+    )

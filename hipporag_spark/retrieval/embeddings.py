@@ -1,0 +1,52 @@
+"""Deterministic stand-in embeddings (the engine's embedding boundary).
+
+The reference calls an external embedding model and stores
+``(hash_id, content, embedding: list<float32>)`` parquet tables
+(``/root/reference/src/hipporag/embedding_store.py:109-120, 152-178``).
+Model inference is outside engine scope (like the LLM); the engine contract
+is everything downstream: storage schema, KNN, dot-product scoring,
+min-max normalization. This module provides a deterministic, unit-norm,
+content-addressed embedding so those paths are real and testable — each
+vector is seeded by md5(text), so any executor (or the driver, for query
+vectors) derives the identical embedding with no coordination.
+
+Vectorized pandas UDF (Arrow batches); at scale this is exactly where a
+real encoder (ONNX/Triton batch call) would slot in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+DIM = 64
+
+
+def embed_text(text: str, dim: int = DIM) -> np.ndarray:
+    seed = int.from_bytes(hashlib.md5(text.encode()).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+@pandas_udf("array<float>")
+def embed_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: embed_text(t))
+
+
+def with_embedding(df: DataFrame, text_col: str = "content") -> DataFrame:
+    return df.withColumn("embedding", embed_udf(F.col(text_col)))
+
+
+def embedding_store(df: DataFrame, text_col: str, prefix: str) -> DataFrame:
+    """(hash_id, content, embedding) table — the reference's store schema
+    (``embedding_store.py:109-115``)."""
+    return df.select(
+        F.concat(F.lit(prefix), F.md5(F.col(text_col))).alias("hash_id"),
+        F.col(text_col).alias("content"),
+    ).dropDuplicates(["hash_id"]).withColumn("embedding", embed_udf(F.col("content")))

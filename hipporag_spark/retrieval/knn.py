@@ -1,0 +1,135 @@
+"""Blocked brute-force KNN + synonymy edge construction.
+
+Reference kernel: normalized dense matmul with blocked two-level top-k
+(``/root/reference/src/hipporag/utils/embed_utils.py:6-94`` — torch, GPU,
+query batches × key blocks). Spark-first re-expression:
+
+- items are hashed into B blocks; queries are REPLICATED to every block
+  (a crossJoin with the tiny block-id table — no shuffle of the big side),
+- a cogrouped ``applyInPandas`` computes the per-block NumPy matmul and
+  keeps only the per-block top-k (bounds memory exactly like the
+  reference's ``KNN_for_blocks`` two-level top-k),
+- a per-query global top-k merges the ≤ B·k partials
+  (``Window.partitionBy(query)`` + ``row_number``).
+
+Wall-clock scales as |Q|·|I| / cluster-size with per-task memory bounded by
+(block size × dim); at 100 TB the same plan holds with B sized so a block
+fits an executor. Embeddings are unit-norm ⇒ dot = cosine.
+
+Synonymy edge semantics (``HippoRAG.py:821-882``): self-KNN over entity
+embeddings, keep score ≥ 0.8, ≤ 100 neighbors per query, only queries with
+> 2 alphanumeric chars; edge weight = cosine score.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..keys import entity_key
+
+SYNONYMY_THRESHOLD = 0.8  # config_utils.py:160-163
+SYNONYMY_TOPK = 2047  # config_utils.py:148-151
+SYNONYMY_MAX_NEIGHBORS = 100  # HippoRAG.py:867-880
+
+
+def knn(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    num_blocks: int = 8,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine: ``(query_key, item_key, score, rank)``.
+
+    queries/items: ``(key, embedding: array<float>)``.
+    """
+    items_b = items.select(
+        F.col("key").alias("ikey"),
+        F.col("embedding").alias("iemb"),
+        F.pmod(F.xxhash64("key"), F.lit(num_blocks)).cast("int").alias("block"),
+    )
+    blocks = items_b.sparkSession.range(num_blocks).select(F.col("id").cast("int").alias("block"))
+    queries_r = queries.select(
+        F.col("key").alias("qkey"), F.col("embedding").alias("qemb")
+    ).crossJoin(F.broadcast(blocks))
+
+    def block_topk(q_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(q_pdf) == 0 or len(i_pdf) == 0:
+            return pd.DataFrame({"qkey": [], "ikey": [], "score": []})
+        # float64 accumulation: scores must agree with engine-independent
+        # double-precision oracles at 1e-6 rounding
+        Q = np.stack(q_pdf["qemb"].map(np.asarray)).astype(np.float64)  # (nq, d)
+        I = np.stack(i_pdf["iemb"].map(np.asarray)).astype(np.float64)  # (ni, d)
+        S = Q @ I.T
+        if exclude_self:
+            same = q_pdf["qkey"].to_numpy()[:, None] == i_pdf["ikey"].to_numpy()[None, :]
+            S[same] = -np.inf
+        kk = min(k, S.shape[1])
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(S.shape[0]), kk)
+        cols = idx.ravel()
+        scores = S[rows, cols]
+        keep = np.isfinite(scores)
+        return pd.DataFrame(
+            {
+                "qkey": q_pdf["qkey"].to_numpy()[rows[keep]],
+                "ikey": i_pdf["ikey"].to_numpy()[cols[keep]],
+                "score": scores[keep].astype(np.float64),
+            }
+        )
+
+    partials = (
+        queries_r.groupby("block")
+        .cogroup(items_b.groupby("block"))
+        .applyInPandas(lambda l, r: block_topk(l, r), "qkey string, ikey string, score double")
+    )
+    w = Window.partitionBy("qkey").orderBy(F.desc("score"), F.asc("ikey"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qkey").alias("query_key"),
+            F.col("ikey").alias("item_key"),
+            "score",
+            "rank",
+        )
+    )
+
+
+def synonymy_edges(
+    entity_store: DataFrame,
+    threshold: float = SYNONYMY_THRESHOLD,
+    top_k: int = SYNONYMY_TOPK,
+    max_neighbors: int = SYNONYMY_MAX_NEIGHBORS,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Entity self-KNN → key-space edges ``(src, dst, weight, etype)``.
+
+    entity_store: ``(hash_id, content, embedding)`` (entity namespace).
+    Guard: query phrases need > 2 alphanumeric chars (``HippoRAG.py:864``).
+    """
+    ents = entity_store.select(
+        F.col("hash_id").alias("key"), "content", "embedding"
+    )
+    qualified = ents.filter(
+        F.length(F.regexp_replace("content", "[^A-Za-z0-9]", "")) > 2
+    ).select("key", "embedding")
+    nn = knn(
+        qualified,
+        ents.select("key", "embedding"),
+        k=min(top_k, max_neighbors),
+        num_blocks=num_blocks,
+        exclude_self=True,
+    )
+    return (
+        nn.filter((F.col("score") >= threshold) & (F.col("rank") <= max_neighbors))
+        .select(
+            F.col("query_key").alias("src"),
+            F.col("item_key").alias("dst"),
+            F.col("score").alias("weight"),
+        )
+        .withColumn("etype", F.lit("synonymy"))
+    )

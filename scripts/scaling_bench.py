@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling run (the sandbox stand-in for N vs 4N executors).
+
+Runs bench.py twice in fresh JVMs — local[N] and local[4N] — on identical
+input, then reports throughput at both and the scaling efficiency
+``(T_N / T_4N) / 4`` required ≥ 0.8 by BASELINE.json. Appends the table to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N = int(os.environ.get("SCALING_N", "8"))
+N4 = 4 * N
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"no JSON from bench at cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    low, high = run(N), run(N4)
+    # efficiency on the iterative graph core (PPR), and on the total
+    eff_ppr = (low["queries"]["ppr"] / high["queries"]["ppr"]) / (N4 / N)
+    eff_total = (low["value"] / high["value"]) / (N4 / N)
+    report = {
+        "n_low": N, "n_high": N4,
+        "ppr_sec_low": low["queries"]["ppr"], "ppr_sec_high": high["queries"]["ppr"],
+        "ppr_edges_per_sec_low": low["ppr_edges_per_sec"],
+        "ppr_edges_per_sec_high": high["ppr_edges_per_sec"],
+        "ppr_supersteps_per_min_low": low["ppr_supersteps_per_min"],
+        "ppr_supersteps_per_min_high": high["ppr_supersteps_per_min"],
+        "total_sec_low": low["value"], "total_sec_high": high["value"],
+        "efficiency_ppr": round(eff_ppr, 3),
+        "efficiency_total": round(eff_total, 3),
+    }
+    print(json.dumps(report))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n## Scaling run (local[{N}] vs local[{N4}], sandbox stand-in for N vs 4N executors)\n\n"
+            f"| metric | local[{N}] | local[{N4}] | efficiency (T_N/T_4N)/4 |\n|---|---|---|---|\n"
+            f"| PPR sec to 1e-6 | {low['queries']['ppr']} | {high['queries']['ppr']} | {report['efficiency_ppr']} |\n"
+            f"| PPR edges/sec | {low['ppr_edges_per_sec']} | {high['ppr_edges_per_sec']} | — |\n"
+            f"| PPR supersteps/min | {low['ppr_supersteps_per_min']} | {high['ppr_supersteps_per_min']} | — |\n"
+            f"| headline total sec | {low['value']} | {high['value']} | {report['efficiency_total']} |\n\n"
+            f"raw low: `{json.dumps(low)}`\n\nraw high: `{json.dumps(high)}`\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""M2/M4 oracle tests: PPR vs reference spec (allclose 1e-6) + NetworkX;
+CC/LP/TC exact. Runs the algorithms over both random multigraphs and the
+KG built from the synthetic corpus."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hipporag_spark.algo.components import connected_components
+from hipporag_spark.algo.labelprop import label_propagation
+from hipporag_spark.algo.ppr import personalized_pagerank
+from hipporag_spark.algo.triangles import triangle_count
+from hipporag_spark.extract import extract
+from hipporag_spark.graph.build import adjacency, build_graph, strength
+
+from oracles import cc_reference, lp_reference, ppr_reference, random_multigraph
+
+
+def make_graph(spark, n, staged_edges):
+    """staged directed (u,v,w) rows → (adj, strength, vertex_ids)."""
+    e = spark.createDataFrame(staged_edges, "src long, dst long, weight double")
+    adj = adjacency(e).persist()
+    st = strength(adj).persist()
+    vids = spark.range(n).select(F.col("id"))
+    return adj, st, vids
+
+
+def spark_ranks_to_np(ranks, n):
+    out = np.zeros(n)
+    for r in ranks.collect():
+        out[r["id"]] = r["value"]
+    return out
+
+
+@pytest.mark.parametrize("engine", ["csr", "dataframe"])
+def test_ppr_random_graph_vs_reference(spark, engine):
+    n, m, seed = 60, 300, 7
+    edges = random_multigraph(n, m, seed)
+    adj, st, vids = make_graph(spark, n, edges)
+    rng = np.random.default_rng(seed)
+    reset = np.where(rng.random(n) < 0.1, rng.random(n), 0.0)
+    reset_df = spark.createDataFrame(
+        [(int(i), float(w)) for i, w in enumerate(reset) if w > 0], "id long, weight double"
+    )
+    ranks, lineage = personalized_pagerank(
+        spark, adj, st, vids, n_vertices=n, reset_df=reset_df,
+        damping=0.5, engine=engine, num_blocks=4,
+    )
+    got = spark_ranks_to_np(ranks, n)
+    want = ppr_reference(n, edges, reset, 0.5)
+    assert np.allclose(got, want, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-6
+    assert lineage[-1]["converged"]
+
+
+def test_ppr_matches_algebraic_solve(spark):
+    """Independent oracle: the exact fixed point via dense linear solve
+    (the same algebraic route igraph's prpack takes, vs our power
+    iteration) — r = (1-d)·reset + d·(Pᵀ + reset·1ᵈᵃⁿᵍᵀ)·r."""
+    n, m, seed = 40, 160, 11
+    edges = random_multigraph(n, m, seed)
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[3], reset[17] = 0.7, 0.3
+    reset_df = spark.createDataFrame([(3, 0.7), (17, 0.3)], "id long, weight double")
+    ranks, _ = personalized_pagerank(
+        spark, adj, st, vids, n_vertices=n, reset_df=reset_df, damping=0.5, num_blocks=4,
+        tol=1e-9,
+    )
+    got = spark_ranks_to_np(ranks, n)
+
+    W = np.zeros((n, n))
+    for u, v, w in edges:
+        W[u, v] += w
+        W[v, u] += w
+    strength = W.sum(axis=1)
+    P = np.zeros((n, n))
+    nz = strength > 0
+    P[nz] = W[nz] / strength[nz, None]
+    r_norm = reset / reset.sum()
+    d = 0.5
+    # dangling rows teleport via reset: M = Pᵀ + r·e_dangᵀ
+    M = P.T.copy()
+    M[:, ~nz] += r_norm[:, None]
+    want = np.linalg.solve(np.eye(n) - d * M, (1 - d) * r_norm)
+    assert np.allclose(got, want, atol=1e-6)
+    assert abs(want.sum() - 1.0) < 1e-9
+
+
+def test_ppr_zero_reset_uniform_and_nan_sanitize(spark):
+    n = 20
+    edges = random_multigraph(n, 60, 3)
+    adj, st, vids = make_graph(spark, n, edges)
+    # all-zero reset → uniform (SimpleGraph.kt:139-140)
+    zero = spark.createDataFrame([(0, 0.0)], "id long, weight double")
+    ranks, _ = personalized_pagerank(spark, adj, st, vids, n_vertices=n, reset_df=zero, num_blocks=4)
+    got = spark_ranks_to_np(ranks, n)
+    want = ppr_reference(n, edges, np.zeros(n), 0.5)
+    assert np.allclose(got, want, atol=1e-6)
+    # NaN / negative entries → 0 (HippoRAG.py:1598)
+    bad = spark.createDataFrame(
+        [(1, float("nan")), (2, -5.0), (4, 2.0)], "id long, weight double"
+    )
+    ranks2, _ = personalized_pagerank(spark, adj, st, vids, n_vertices=n, reset_df=bad, num_blocks=4)
+    got2 = spark_ranks_to_np(ranks2, n)
+    clean = np.zeros(n)
+    clean[4] = 2.0
+    want2 = ppr_reference(n, edges, clean, 0.5)
+    assert np.allclose(got2, want2, atol=1e-6)
+
+
+def test_ppr_dangling_vertices(spark):
+    # isolated vertices 8,9 (dangling); reset partly on a dangling vertex
+    n = 10
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 4, 1.0), (5, 6, 1.0), (6, 7, 3.0)]
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[0], reset[8] = 0.5, 0.5
+    reset_df = spark.createDataFrame([(0, 0.5), (8, 0.5)], "id long, weight double")
+    ranks, _ = personalized_pagerank(spark, adj, st, vids, n_vertices=n, reset_df=reset_df, num_blocks=2)
+    got = spark_ranks_to_np(ranks, n)
+    want = ppr_reference(n, edges, reset, 0.5)
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_ppr_on_synth_kg(spark, tiny_files):
+    """End-to-end: corpus → graph → PPR, vs reference oracle."""
+    ex = extract(tiny_files)
+    verts, edges, adj = build_graph(ex)
+    st = strength(adj)
+    n = verts.count()
+    vids = verts.select("id")
+    # reset on the two lowest-id entity vertices (deterministic)
+    ids = [r["id"] for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(2).collect()]
+    reset_df = spark.createDataFrame([(int(ids[0]), 0.8), (int(ids[1]), 0.2)], "id long, weight double")
+    ranks, lineage = personalized_pagerank(spark, adj, st, vids, n_vertices=n, reset_df=reset_df, num_blocks=8)
+    got = spark_ranks_to_np(ranks, n)
+
+    und = [(r["src"], r["dst"], r["weight"]) for r in adj.filter(F.col("src") < F.col("dst")).collect()]
+    reset = np.zeros(n)
+    reset[ids[0]], reset[ids[1]] = 0.8, 0.2
+    want = ppr_reference(n, und, reset, 0.5)
+    assert np.allclose(got, want, atol=1e-6)
+    # per-partition lineage recorded each superstep
+    assert all(len(l["partitions"]) >= 1 for l in lineage)
+
+
+def test_connected_components_exact(spark):
+    n = 50
+    edges = random_multigraph(n, 55, 5)  # sparse → several components
+    adj, st, vids = make_graph(spark, n, edges)
+    comp, lineage = connected_components(spark, adj, vids, num_blocks=4)
+    got = np.zeros(n, dtype=int)
+    for r in comp.collect():
+        got[r["id"]] = r["component"]
+    want = cc_reference(n, edges)
+    assert (got == want).all()
+    assert lineage[-1]["converged"]
+
+
+def test_connected_components_long_chain(spark):
+    n = 64
+    edges = [(i, i + 1, 1.0) for i in range(n - 1)]
+    adj, st, vids = make_graph(spark, n, edges)
+    comp, lineage = connected_components(spark, adj, vids, num_blocks=4)
+    assert {r["component"] for r in comp.collect()} == {0}
+    # pointer jumping must beat O(n) rounds
+    assert len(lineage) < 20
+
+
+def test_label_propagation_matches_pinned_semantics(spark):
+    n = 30
+    edges = random_multigraph(n, 90, 13)
+    adj, st, vids = make_graph(spark, n, edges)
+    labels, _ = label_propagation(spark, adj, vids, max_iter=10, num_blocks=4)
+    got = np.zeros(n, dtype=int)
+    for r in labels.collect():
+        got[r["id"]] = r["label"]
+    # oracle consumes the symmetric summed adjacency
+    und = {}
+    for u, v, w in edges:
+        k = (min(u, v), max(u, v))
+        und[k] = und.get(k, 0.0) + w
+    want = lp_reference(n, [(u, v, w) for (u, v), w in und.items()], max_iter=10)
+    assert (got == want).all()
+
+
+def test_triangle_count_exact(spark):
+    nx = pytest.importorskip("networkx")
+    n = 40
+    edges = random_multigraph(n, 200, 17)
+    adj, st, vids = make_graph(spark, n, edges)
+    per_vertex, total = triangle_count(adj)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    for u, v, _ in edges:
+        G.add_edge(u, v)
+    want = nx.triangles(G)
+    got = {r["id"]: r["triangles"] for r in per_vertex.collect()}
+    for i in range(n):
+        assert got.get(i, 0) == want[i]
+    assert total == sum(want.values()) // 3

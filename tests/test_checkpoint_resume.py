@@ -1,0 +1,104 @@
+"""F6 resume fixture: kill the PPR loop mid-iteration, restart from the
+checkpoint, converge to scores identical to an uninterrupted run."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hipporag_spark.algo.components import connected_components
+from hipporag_spark.algo.ppr import personalized_pagerank
+from hipporag_spark.checkpointing import CheckpointManager
+from hipporag_spark.graph.build import adjacency, strength
+
+from oracles import ppr_reference, random_multigraph
+
+
+def _graph(spark, n, m, seed):
+    edges = random_multigraph(n, m, seed)
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    adj = adjacency(e).persist()
+    st = strength(adj).persist()
+    vids = spark.range(n).select(F.col("id"))
+    return edges, adj, st, vids
+
+
+def _to_np(ranks, n):
+    out = np.zeros(n)
+    for r in ranks.collect():
+        out[r["id"]] = r["value"]
+    return out
+
+
+def test_ppr_kill_and_resume(spark, tmp_path):
+    n, m = 40, 160
+    edges, adj, st, vids = _graph(spark, n, m, seed=23)
+    reset_df = spark.createDataFrame([(1, 0.5), (7, 0.5)], "id long, weight double")
+    ckdir = str(tmp_path / "ck")
+
+    # uninterrupted reference run (no checkpointing)
+    full, full_lineage = personalized_pagerank(
+        spark, adj, st, vids, n_vertices=n, reset_df=reset_df, num_blocks=4
+    )
+    want = _to_np(full, n)
+
+    # killed run: stop after 4 supersteps (simulates a mid-job failure —
+    # every completed superstep has state + manifest on disk)
+    part1, lin1 = personalized_pagerank(
+        spark, adj, st, vids, n_vertices=n, reset_df=reset_df, num_blocks=4,
+        checkpoint_dir=ckdir, run_id="runA", max_iter=4,
+    )
+    assert not lin1[-1]["converged"]
+    mgr = CheckpointManager(ckdir, "runA")
+    assert mgr.latest_complete() == 3
+
+    # resumed run: continues from superstep 4, converges
+    part2, lin2 = personalized_pagerank(
+        spark, adj, st, vids, n_vertices=n, reset_df=reset_df, num_blocks=4,
+        checkpoint_dir=ckdir, run_id="runA",
+    )
+    got = _to_np(part2, n)
+    assert lin2[-1]["converged"]
+    # resumed supersteps continue the numbering (no recompute of done work)
+    assert lin2[-1]["superstep"] == len(full_lineage) - 1
+    assert np.allclose(got, want, atol=1e-12)
+    assert np.allclose(got, ppr_reference(n, edges, np.array([0, 0.5, 0, 0, 0, 0, 0, 0.5] + [0] * 32), 0.5), atol=1e-6)
+
+    # lineage carries per-partition metrics for every superstep
+    lineage = mgr.lineage()
+    assert [l["superstep"] for l in lineage] == list(range(len(lineage)))
+    for l in lineage:
+        assert l["partitions"] and all("rows" in p and "delta" in p for p in l["partitions"])
+
+
+def test_ppr_resume_of_converged_run_is_noop(spark, tmp_path):
+    n, m = 20, 60
+    edges, adj, st, vids = _graph(spark, n, m, seed=31)
+    ckdir = str(tmp_path / "ck2")
+    r1, lin1 = personalized_pagerank(
+        spark, adj, st, vids, n_vertices=n, num_blocks=4,
+        checkpoint_dir=ckdir, run_id="runB",
+    )
+    r2, lin2 = personalized_pagerank(
+        spark, adj, st, vids, n_vertices=n, num_blocks=4,
+        checkpoint_dir=ckdir, run_id="runB",
+    )
+    assert lin2[-1]["converged"]
+    a, b = _to_np(r1, n), _to_np(r2, n)
+    assert (a == b).all()  # bitwise: state loaded straight from parquet
+
+
+def test_cc_kill_and_resume(spark, tmp_path):
+    n = 30
+    edges, adj, st, vids = _graph(spark, n, 35, seed=41)
+    ckdir = str(tmp_path / "ck3")
+    full, _ = connected_components(spark, adj, vids, num_blocks=4)
+    want = {r["id"]: r["component"] for r in full.collect()}
+
+    part1, lin1 = connected_components(
+        spark, adj, vids, num_blocks=4, checkpoint_dir=ckdir, run_id="cc1", max_iter=1
+    )
+    assert not lin1[-1]["converged"]
+    part2, lin2 = connected_components(
+        spark, adj, vids, num_blocks=4, checkpoint_dir=ckdir, run_id="cc1"
+    )
+    got = {r["id"]: r["component"] for r in part2.collect()}
+    assert got == want and lin2[-1]["converged"]

@@ -1,0 +1,109 @@
+"""M1 tests: edge/vertex construction semantics (SURVEY.md §1.2, §2.2)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hipporag_spark.extract import extract
+from hipporag_spark.graph.build import (
+    adjacency,
+    build_graph,
+    fact_edges,
+    graph_info,
+    passage_edges,
+    strength,
+    vertices,
+)
+from hipporag_spark.graph.ids import assign_dense_ids
+
+
+def ekey(phrase):
+    return "entity-" + hashlib.md5(phrase.encode()).hexdigest()
+
+
+def test_fact_edges_cooccurrence_weights(spark):
+    # two chunks sharing the triple (a, imports, b); one (a, defines, c)
+    data = [
+        ("c1", [("a", "imports", "b"), ("a", "defines", "c")]),
+        ("c2", [("a", "imports", "b")]),
+    ]
+    ex = spark.createDataFrame(
+        [(cid, [{"s": s, "p": p, "o": o} for s, p, o in ts]) for cid, ts in data],
+        "chunk_id string, triples array<struct<s:string,p:string,o:string>>",
+    )
+    rows = {(r["src"], r["dst"]): r["weight"] for r in fact_edges(ex).collect()}
+    # both directions, weight = #occurrences across chunks
+    assert rows[(ekey("a"), ekey("b"))] == 2.0
+    assert rows[(ekey("b"), ekey("a"))] == 2.0
+    assert rows[(ekey("a"), ekey("c"))] == 1.0
+    assert len(rows) == 4
+
+
+def test_fact_edges_drop_self_pairs(spark):
+    ex = spark.createDataFrame(
+        [("c1", [{"s": "x", "p": "imports", "o": "x"}])],
+        "chunk_id string, triples array<struct<s:string,p:string,o:string>>",
+    )
+    assert fact_edges(ex).count() == 0  # HippoRAG.py:1064
+
+
+def test_passage_edges_weight_one(spark):
+    ex = spark.createDataFrame(
+        [("chunk-abc", ["e1", "e2"])], "chunk_id string, entities array<string>"
+    )
+    rows = passage_edges(ex).collect()
+    assert {(r["src"], r["dst"], r["weight"]) for r in rows} == {
+        ("chunk-abc", ekey("e1"), 1.0),
+        ("chunk-abc", ekey("e2"), 1.0),
+    }
+
+
+def test_resolve_drops_unknown_endpoints_and_adjacency_sums(spark, tiny_files):
+    ex = extract(tiny_files)
+    verts, edges, adj = build_graph(ex)
+    # endpoint validation: every edge endpoint exists in the vertex table
+    vids = {r["id"] for r in verts.collect()}
+    for r in edges.collect():
+        assert r["src"] in vids and r["dst"] in vids
+        assert r["src"] != r["dst"]
+    # adjacency is symmetric with identical weight both ways
+    a = {(r["src"], r["dst"]): r["weight"] for r in adj.collect()}
+    for (u, v), w in a.items():
+        assert a[(v, u)] == w
+    # strength = row sums
+    st = {r["id"]: r["strength"] for r in strength(adj).collect()}
+    import collections
+
+    acc = collections.defaultdict(float)
+    for (u, _), w in a.items():
+        acc[u] += w
+    assert set(st) == set(acc)
+    for k in st:
+        assert abs(st[k] - acc[k]) < 1e-12
+
+
+def test_vertices_dense_deterministic_ids(spark, tiny_files):
+    ex = extract(tiny_files)
+    v1 = vertices(ex).orderBy("id").collect()
+    v2 = vertices(ex.repartition(7)).orderBy("id").collect()
+    names1 = [r["name"] for r in v1]
+    assert [r["id"] for r in v1] == list(range(len(v1)))  # dense 0..n-1
+    assert names1 == sorted(names1)  # id = rank in name order
+    assert [(r["id"], r["name"]) for r in v1] == [(r["id"], r["name"]) for r in v2]
+
+
+def test_assign_dense_ids_matches_window_rank(spark):
+    df = spark.createDataFrame([(f"k{i:03d}",) for i in range(97)], "key string")
+    got = {r["key"]: r["id"] for r in assign_dense_ids(df.repartition(13), "key").collect()}
+    for i in range(97):
+        assert got[f"k{i:03d}"] == i
+
+
+def test_graph_info_counts(spark, tiny_files):
+    ex = extract(tiny_files)
+    verts, edges, adj = build_graph(ex)
+    info = graph_info(verts, edges)
+    assert info["num_passage_nodes"] == 9
+    assert info["num_total_nodes"] == info["num_phrase_nodes"] + 9
+    assert info["num_total_edges"] == sum(info["edges_by_type"].values())
+    assert info["edges_by_type"]["passage"] > 0 and info["edges_by_type"]["fact"] > 0
