@@ -86,6 +86,32 @@ def main() -> None:
     extras["ppr_edges_per_sec"] = round(steps * n_edges / timings["ppr"], 1)
     extras["ppr_converged"] = bool(lineage and lineage[-1]["converged"])
 
+    # batched multi-source PPR: Q queries in one superstep loop — the
+    # retrieval workload shape; per-superstep overhead amortizes over Q
+    from hipporag_spark.algo.ppr import personalized_pagerank_batch
+
+    n_queries = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "32"))
+    ent_ids = [
+        r["id"]
+        for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(n_queries).collect()
+    ]
+    breset = spark.createDataFrame(
+        [(f"q{j}", int(i), 1.0) for j, i in enumerate(ent_ids)],
+        "query_id string, id long, weight double",
+    )
+    with timed("ppr_batch"):
+        branks, blineage = personalized_pagerank_batch(
+            spark, adj, st, verts.select("id"), breset,
+            n_vertices=n_vertices, damping=0.5, num_blocks=cpus,
+        )
+        branks.count()
+    bsteps = len(blineage)
+    extras["ppr_batch_queries"] = len(ent_ids)
+    extras["ppr_batch_supersteps"] = bsteps
+    extras["ppr_batch_query_edges_per_sec"] = round(
+        bsteps * n_edges * len(ent_ids) / timings["ppr_batch"], 1
+    )
+
     # ---- other algorithms on the same graph ----
     from hipporag_spark.algo.components import connected_components
     from hipporag_spark.algo.labelprop import label_propagation
@@ -107,9 +133,20 @@ def main() -> None:
     # ---- pipeline ops over the driver testdata ----
     from hipporag_spark import driver_queries as dq
 
-    for name in ["minhash_lsh_pairs", "simhash", "token_stats", "knn_blocked_cogroup"]:
+    for name in ["minhash_lsh_pairs", "simhash", "token_stats"]:
         with timed(name):
             dq.all_queries()[name](spark, sf_dir).count()
+
+    # compute-bound exact KNN: all-pairs blocked cogroup matmul over the
+    # embeddings table (O(n²·d) FLOPs — the scaling-efficiency workhorse)
+    from hipporag_spark.retrieval.knn import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    items = emb.select(F.col("vec_id").cast("string").alias("key"), "embedding")
+    with timed("knn_all_pairs"):
+        nn = knn(items, items, k=5, num_blocks=cpus, exclude_self=True)
+        n_emb = nn.count()
+    extras["knn_result_rows"] = n_emb
 
     total = round(sum(timings.values()), 3)
     print(

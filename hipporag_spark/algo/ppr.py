@@ -103,6 +103,271 @@ def _spmv_csr(ranks_blocked, csr, damping: float, schema="dst long, partial doub
     )
 
 
+def personalized_pagerank_batch(
+    spark: SparkSession,
+    adj: DataFrame,
+    strength_df: DataFrame,
+    vertex_ids: DataFrame,
+    reset_df: DataFrame,
+    n_vertices: int | None = None,
+    damping: float = 0.5,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_blocks: int | None = None,
+    csr: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    check_every: int = 1,
+) -> tuple[DataFrame, list[dict]]:
+    """Multi-source PPR: one superstep loop scores Q queries at once.
+
+    ``check_every``: run the convergence/metrics aggregate every K-th
+    superstep (checkpoints follow the same cadence). Power iteration is a
+    contraction, so overshooting by up to K-1 supersteps only tightens the
+    result — the tol-1e-6 contract holds; skipped steps cost one
+    materialization job instead of two. (With dangling vertices present, a
+    small per-query dangling aggregate still runs on skipped steps — the
+    next step's teleport term needs it.)
+
+    ``reset_df``: ``(query_id, id, weight)``. Returns ranks
+    ``(query_id, id, value)``. Each query's math is independent and matches
+    :func:`personalized_pagerank` exactly; batching amortizes the per-
+    superstep scheduling/shuffle cost across queries (the reference loops
+    per query, ``HippoRAG.py:409-426``). Convergence = every query's L1
+    delta < tol; per-query dangling mass rides in a driver dict refreshed
+    by the same single metrics action.
+    """
+    n = n_vertices if n_vertices is not None else vertex_ids.count()
+    if n == 0:
+        return spark.createDataFrame([], "query_id string, id long, value double"), []
+    P = num_blocks or spark.sparkContext.defaultParallelism
+    if csr is None:
+        csr = compile_csr(adj, strength_df, P)
+
+    # per-query sanitized + normalized reset (sum=1 within each query)
+    clean = reset_df.select(
+        "query_id", "id",
+        F.when(
+            F.isnan(F.col("weight").cast("double"))
+            | F.col("weight").isNull()
+            | (F.col("weight") < 0),
+            F.lit(0.0),
+        ).otherwise(F.col("weight").cast("double")).alias("weight"),
+    ).filter(F.col("weight") > 0)
+    totals = clean.groupBy("query_id").agg(F.sum("weight").alias("total"))
+    reset = clean.join(totals, "query_id").select(
+        "query_id", "id", (F.col("weight") / F.col("total")).alias("reset")
+    )
+    # queries whose reset is entirely zero/invalid → uniform reset
+    # (SimpleGraph.kt:139-140 per query)
+    all_qids = reset_df.select("query_id").distinct()
+    zero_q = all_qids.join(totals, "query_id", "left_anti")
+    # loop-invariant inputs: EAGER localCheckpoint, not just persist — a
+    # caller-supplied reset can carry an arbitrarily deep lineage (the
+    # retrieval scoring pipeline), and every superstep's plan would drag it
+    # through analysis again
+    reset = reset.unionByName(
+        zero_q.crossJoin(vertex_ids).select(
+            "query_id", "id", F.lit(1.0 / n).alias("reset")
+        )
+    ).localCheckpoint(eager=True)
+    qids = [r["query_id"] for r in all_qids.collect()]
+
+    dangling_ids = vertex_ids.join(
+        strength_df.filter(F.col("strength") > 0), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_dangling = dangling_ids.count()
+
+    qdf = spark.createDataFrame([(q,) for q in qids], "query_id string")
+    ranks = qdf.crossJoin(vertex_ids).select(
+        "query_id", "id", F.lit(1.0 / n).alias("value")
+    )
+    dangling_mass = {q: n_dangling / n for q in qids}
+
+    ckpt = None
+    start_step = 0
+    lineage: list[dict] = []
+    if checkpoint_dir is not None:
+        ckpt = CheckpointManager(checkpoint_dir, run_id or uuid.uuid4().hex[:12])
+        latest = ckpt.latest_complete()
+        if latest is not None:
+            ranks, manifest = ckpt.load(spark, latest)
+            lineage = ckpt.lineage()
+            if manifest.get("converged"):
+                return ranks, lineage
+            start_step = latest + 1
+            dangling_mass = manifest["dangling_mass"]
+    ranks = ranks.persist()
+
+    def kernel(ranks_pdf: pd.DataFrame, csr_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="object"), "dst": pd.Series(dtype="int64"),
+             "partial": pd.Series(dtype="float64")}
+        )
+        if len(ranks_pdf) == 0 or len(csr_pdf) == 0:
+            return empty
+        qcat = pd.Categorical(ranks_pdf["query_id"])
+        qlabels = list(qcat.categories)
+        nq = len(qlabels)
+        rid = ranks_pdf["id"].to_numpy()
+        uniq_ids, inv_ids = np.unique(rid, return_inverse=True)
+        V = np.zeros((len(uniq_ids), nq))
+        V[inv_ids, qcat.codes] = ranks_pdf["value"].to_numpy()
+        outs = []
+        for _, row in csr_pdf.iterrows():
+            src_ids = np.asarray(row["src_ids"], dtype=np.int64)
+            indptr = np.asarray(row["indptr"], dtype=np.int64)
+            dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
+            w_norm = np.asarray(row["w_norm"], dtype=np.float64)
+            pos = np.searchsorted(uniq_ids, src_ids)
+            pos_c = np.clip(pos, 0, len(uniq_ids) - 1)
+            hit = uniq_ids[pos_c] == src_ids
+            src_val = np.where(hit[:, None], V[pos_c], 0.0)  # (n_src, nq)
+            reps = np.diff(indptr)
+            uniq_dst, inv = np.unique(dst_ids, return_inverse=True)
+            n_edges = len(dst_ids)
+            # chunk the query axis to bound the (n_edges × q_chunk)
+            # intermediate — large query batches stay within task memory
+            q_chunk = max(1, int(20_000_000 / max(1, n_edges)))
+            for qs in range(0, nq, q_chunk):
+                qe = min(nq, qs + q_chunk)
+                edge_val = np.repeat(src_val[:, qs:qe], reps, axis=0)
+                contrib = damping * edge_val * w_norm[:, None]
+                sums = np.zeros((len(uniq_dst), qe - qs))
+                for qi in range(qe - qs):
+                    sums[:, qi] = np.bincount(inv, weights=contrib[:, qi], minlength=len(uniq_dst))
+                nz_rows, nz_cols = np.nonzero(sums)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": [qlabels[qs + c] for c in nz_cols],
+                            "dst": uniq_dst[nz_rows],
+                            "partial": sums[nz_rows, nz_cols],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    converged = False
+    for step in range(start_step, max_iter):
+        t0 = time.time()
+        ranks_blocked = ranks.withColumn("block", block_of(F.col("id"), P))
+        partials = (
+            ranks_blocked.groupby("block")
+            .cogroup(csr.groupby("block"))
+            .applyInPandas(lambda l, r: kernel(l, r), "query_id string, dst long, partial double")
+        )
+        contrib = partials.groupBy("query_id", "dst").agg(F.sum("partial").alias("contrib"))
+
+        base_df = spark.createDataFrame(
+            [(q, (1.0 - damping) + damping * dangling_mass[q]) for q in qids],
+            "query_id string, base double",
+        )
+        new_ranks = (
+            contrib.withColumnRenamed("dst", "id")
+            .join(reset, ["query_id", "id"], "full_outer")
+            .join(F.broadcast(base_df), "query_id")
+            .select(
+                "query_id", "id",
+                (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("base") * F.coalesce(F.col("reset"), F.lit(0.0))
+                ).alias("value"),
+            )
+            .persist()
+        )
+
+        is_check = (step - start_step) % check_every == check_every - 1 or step == max_iter - 1
+        if not is_check:
+            # cheap step: materialize only; refresh dangling mass if needed
+            if n_dangling > 0:
+                drows = (
+                    new_ranks.join(dangling_ids, "id", "left_semi")
+                    .groupBy("query_id")
+                    .agg(F.sum("value").alias("dm"))
+                    .collect()
+                )
+                dangling_mass = {q: 0.0 for q in qids}
+                for r in drows:
+                    dangling_mass[r["query_id"]] = r["dm"]
+            old = ranks
+            ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks.unpersist()
+            old.unpersist()
+            lineage.append(
+                {"run_id": ckpt.run_id if ckpt else "in-memory", "superstep": step,
+                 "delta": None, "converged": False,
+                 "wall_ms": (time.time() - t0) * 1000, "partitions": []}
+            )
+            continue
+
+        joined = (
+            ranks.select("query_id", "id", F.col("value").alias("old"))
+            .join(
+                new_ranks.select("query_id", "id", F.col("value").alias("new")),
+                ["query_id", "id"], "full_outer",
+            )
+            .join(dangling_ids.select("id", F.lit(1).alias("is_dangling")), "id", "left_outer")
+        )
+        metrics_rows = (
+            joined.withColumn("block", block_of(F.col("id"), P))
+            .groupBy("query_id", "block")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(
+                    F.abs(F.coalesce(F.col("new"), F.lit(0.0)) - F.coalesce(F.col("old"), F.lit(0.0)))
+                ).alias("delta"),
+                F.sum(
+                    F.when(F.col("is_dangling") == 1, F.coalesce(F.col("new"), F.lit(0.0))).otherwise(0.0)
+                ).alias("dangling_mass"),
+            )
+            .collect()
+        )
+        deltas: dict[str, float] = {q: 0.0 for q in qids}
+        dangling_mass = {q: 0.0 for q in qids}
+        for r in metrics_rows:
+            deltas[r["query_id"]] += r["delta"]
+            dangling_mass[r["query_id"]] += r["dangling_mass"]
+        delta = max(deltas.values()) if deltas else 0.0
+        wall_ms = (time.time() - t0) * 1000
+        converged = delta < tol
+
+        meta = SuperstepCheckpoint(
+            run_id=ckpt.run_id if ckpt else "in-memory",
+            superstep=step,
+            delta=delta,
+            converged=converged,
+            wall_ms=wall_ms,
+            partitions=[
+                {"query_id": r["query_id"], "block": r["block"], "rows": r["rows"], "delta": r["delta"]}
+                for r in metrics_rows
+            ],
+            extra={
+                "engine": "csr-batch", "damping": damping, "n_vertices": n,
+                "n_queries": len(qids), "dangling_mass": dangling_mass,
+                "per_query_delta": deltas,
+            },
+        )
+        old = ranks
+        if ckpt is not None:
+            ranks = ckpt.write(new_ranks, meta)
+            new_ranks.unpersist()
+        else:
+            ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks.unpersist()
+        old.unpersist()
+        lineage.append(
+            {"run_id": meta.run_id, "superstep": step, "delta": delta,
+             "converged": converged, "wall_ms": wall_ms, "partitions": meta.partitions}
+        )
+        if converged:
+            break
+
+    reset.unpersist()
+    dangling_ids.unpersist()
+    return ranks, lineage
+
+
 def personalized_pagerank(
     spark: SparkSession,
     adj: DataFrame,
@@ -131,22 +396,30 @@ def personalized_pagerank(
         return spark.createDataFrame([], "id long, value double"), []
     P = num_blocks or spark.sparkContext.defaultParallelism
 
-    reset = _prep_reset(vertex_ids, n, reset_df).persist()
+    # loop-invariant inputs: EAGER localCheckpoint (materialize + truncate
+    # lineage) so per-superstep plans don't re-analyze the caller's lineage
+    reset = _prep_reset(vertex_ids, n, reset_df).localCheckpoint(eager=True)
     # dangling set: vertices with zero strength (SimpleGraph.kt:158-165);
     # its rank mass is tracked as a DRIVER scalar, updated inside each
     # superstep's single metrics action (no extra job per iteration)
     dangling_ids = vertex_ids.join(
         strength_df.filter(F.col("strength") > 0), "id", "left_anti"
-    ).persist()
+    ).localCheckpoint(eager=True)
     n_dangling = dangling_ids.count()
 
     if engine == "csr":
         if csr is None:
             csr = compile_csr(adj, strength_df, P)
     else:
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # hash-partition the static edge side on the join key and CACHE it:
+        # the InMemoryRelation advertises HashPartitioning(src), so each
+        # superstep's join shuffles only the rank vector (O(V)), never the
+        # edges (O(E)) — same trick as the CSR block cache.
         adj_norm = (
             adj.join(strength_df, adj.src == strength_df.id)
             .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm"))
+            .repartition(shuffle_p, "src")
             .persist()
         )
 

@@ -101,7 +101,10 @@ class LinkGraphEngine:
         return self._build_state(surviving)
 
     def _build_state(self, extraction: DataFrame) -> GraphState:
-        extraction = extraction.persist()
+        # eager truncation: incremental index/delete chain extraction
+        # through unions/anti-joins — without this each rebuild re-analyzes
+        # the whole chain in every downstream action
+        extraction = extraction.localCheckpoint(eager=True)
         ents = extraction.select(F.explode("entities").alias("content")).distinct()
         entity_store = embedding_store(ents, "content", ENTITY_PREFIX).persist()
         chunk_store = embedding_store(
@@ -189,7 +192,7 @@ class LinkGraphEngine:
         stores), scored against fact + passage stores in one batched pass,
         then each query's PPR runs over the shared CSR blocks.
         """
-        from .algo.ppr import personalized_pagerank
+        from .algo.ppr import personalized_pagerank_batch
         from .graph.csr import compile_csr
         from .retrieval.embeddings import embed_text
 
@@ -204,25 +207,18 @@ class LinkGraphEngine:
         resets = build_reset(pw, passage_weights(dpr), s.verts).persist()
 
         csr = compile_csr(s.adj, s.strength, self.num_blocks)
-        vids = s.verts.select("id")
-        out = None
-        for q in queries:
-            reset_q = resets.filter(F.col("query_id") == q).select(
-                "id", F.col("weight")
-            )
-            ranks, _ = personalized_pagerank(
-                self.spark,
-                s.adj,
-                s.strength,
-                vids,
-                n_vertices=s.n_vertices,
-                reset_df=reset_q,
-                damping=damping,
-                num_blocks=self.num_blocks,
-                csr=csr,
-                checkpoint_dir=checkpoint_dir,
-                run_id=None,
-            )
-            rq = ranks.withColumn("query_id", F.lit(q))
-            out = rq if out is None else out.unionByName(rq)
-        return rank_docs(out, s.verts, retrieval_top_k)
+        ranks, _ = personalized_pagerank_batch(
+            self.spark,
+            s.adj,
+            s.strength,
+            s.verts.select("id"),
+            reset_df=resets,
+            n_vertices=s.n_vertices,
+            damping=damping,
+            num_blocks=self.num_blocks,
+            csr=csr,
+            checkpoint_dir=checkpoint_dir,
+            run_id=None,
+            check_every=2,
+        )
+        return rank_docs(ranks, s.verts, retrieval_top_k)

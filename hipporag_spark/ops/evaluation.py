@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 RECALL_KS = [1, 2, 5, 10, 20, 30, 50, 100, 150, 200]  # HippoRAG.py:443
 
@@ -65,7 +66,7 @@ def exact_match(pred: DataFrame) -> DataFrame:
     )
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def _f1_udf(answers: pd.Series, golds: pd.Series) -> pd.Series:
     import re
 

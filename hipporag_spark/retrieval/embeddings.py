@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
 
 DIM = 64
 
@@ -34,7 +35,9 @@ def embed_text(text: str, dim: int = DIM) -> np.ndarray:
     return (v / np.linalg.norm(v)).astype(np.float32)
 
 
-@pandas_udf("array<float>")
+# DataType object (not a DDL string): string return types are parsed at
+# decoration time and would require an active SparkSession at import
+@pandas_udf(ArrayType(FloatType()))
 def embed_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: embed_text(t))
 

@@ -63,23 +63,34 @@ def knn(
         # double-precision oracles at 1e-6 rounding
         Q = np.stack(q_pdf["qemb"].map(np.asarray)).astype(np.float64)  # (nq, d)
         I = np.stack(i_pdf["iemb"].map(np.asarray)).astype(np.float64)  # (ni, d)
-        S = Q @ I.T
-        if exclude_self:
-            same = q_pdf["qkey"].to_numpy()[:, None] == i_pdf["ikey"].to_numpy()[None, :]
-            S[same] = -np.inf
-        kk = min(k, S.shape[1])
-        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(S.shape[0]), kk)
-        cols = idx.ravel()
-        scores = S[rows, cols]
-        keep = np.isfinite(scores)
-        return pd.DataFrame(
-            {
-                "qkey": q_pdf["qkey"].to_numpy()[rows[keep]],
-                "ikey": i_pdf["ikey"].to_numpy()[cols[keep]],
-                "score": scores[keep].astype(np.float64),
-            }
-        )
+        qkeys = q_pdf["qkey"].to_numpy()
+        ikeys = i_pdf["ikey"].to_numpy()
+        # chunk the query axis: bounds the score matrix to chunk×ni
+        # (exactly the reference's blocked two-level top-k,
+        # embed_utils.py:36-75 — batch_size there, chunk here)
+        chunk = max(1, int(16_000_000 / max(1, len(ikeys))))
+        outs = []
+        for s in range(0, len(qkeys), chunk):
+            S = Q[s : s + chunk] @ I.T
+            if exclude_self:
+                same = qkeys[s : s + chunk, None] == ikeys[None, :]
+                S[same] = -np.inf
+            kk = min(k, S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(S.shape[0]), kk)
+            cols = idx.ravel()
+            scores = S[rows, cols]
+            keep = np.isfinite(scores)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "qkey": qkeys[s : s + chunk][rows[keep]],
+                        "ikey": ikeys[cols[keep]],
+                        "score": scores[keep].astype(np.float64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     partials = (
         queries_r.groupby("block")

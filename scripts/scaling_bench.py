@@ -35,29 +35,41 @@ def run(cpus: int) -> dict:
 
 def main() -> None:
     low, high = run(N), run(N4)
-    # efficiency on the iterative graph core (PPR), and on the total
-    eff_ppr = (low["queries"]["ppr"] / high["queries"]["ppr"]) / (N4 / N)
-    eff_total = (low["value"] / high["value"]) / (N4 / N)
+
+    def eff(key):
+        return round((low["queries"][key] / high["queries"][key]) / (N4 / N), 3)
+
     report = {
         "n_low": N, "n_high": N4,
-        "ppr_sec_low": low["queries"]["ppr"], "ppr_sec_high": high["queries"]["ppr"],
-        "ppr_edges_per_sec_low": low["ppr_edges_per_sec"],
-        "ppr_edges_per_sec_high": high["ppr_edges_per_sec"],
-        "ppr_supersteps_per_min_low": low["ppr_supersteps_per_min"],
-        "ppr_supersteps_per_min_high": high["ppr_supersteps_per_min"],
-        "total_sec_low": low["value"], "total_sec_high": high["value"],
-        "efficiency_ppr": round(eff_ppr, 3),
-        "efficiency_total": round(eff_total, 3),
+        "efficiency_ppr": eff("ppr"),
+        "efficiency_ppr_batch": eff("ppr_batch"),
+        "efficiency_knn": eff("knn_all_pairs"),
+        "efficiency_triangles": eff("triangle_count"),
+        "efficiency_total": round((low["value"] / high["value"]) / (N4 / N), 3),
+        "ppr_batch_query_edges_per_sec": [
+            low["ppr_batch_query_edges_per_sec"], high["ppr_batch_query_edges_per_sec"]
+        ],
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    rows = [
+        ("PPR (single query) sec to 1e-6", "ppr", report["efficiency_ppr"]),
+        ("PPR batch (32 queries) sec to 1e-6", "ppr_batch", report["efficiency_ppr_batch"]),
+        ("exact KNN all-pairs sec", "knn_all_pairs", report["efficiency_knn"]),
+        ("triangle count sec", "triangle_count", report["efficiency_triangles"]),
+    ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"\n## Scaling run (local[{N}] vs local[{N4}], sandbox stand-in for N vs 4N executors)\n\n"
             f"| metric | local[{N}] | local[{N4}] | efficiency (T_N/T_4N)/4 |\n|---|---|---|---|\n"
-            f"| PPR sec to 1e-6 | {low['queries']['ppr']} | {high['queries']['ppr']} | {report['efficiency_ppr']} |\n"
-            f"| PPR edges/sec | {low['ppr_edges_per_sec']} | {high['ppr_edges_per_sec']} | — |\n"
-            f"| PPR supersteps/min | {low['ppr_supersteps_per_min']} | {high['ppr_supersteps_per_min']} | — |\n"
+        )
+        for label, key, e in rows:
+            f.write(f"| {label} | {low['queries'][key]} | {high['queries'][key]} | {e} |\n")
+        f.write(
+            f"| PPR batch query·edges/sec | {low['ppr_batch_query_edges_per_sec']} | "
+            f"{high['ppr_batch_query_edges_per_sec']} | — |\n"
+            f"| PPR supersteps/min | {low['ppr_supersteps_per_min']} | "
+            f"{high['ppr_supersteps_per_min']} | — |\n"
             f"| headline total sec | {low['value']} | {high['value']} | {report['efficiency_total']} |\n\n"
             f"raw low: `{json.dumps(low)}`\n\nraw high: `{json.dumps(high)}`\n"
         )

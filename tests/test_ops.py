@@ -1,0 +1,181 @@
+"""Unit tests for pipeline ops: dedup, similarity, text stats, multimodal,
+evaluation, rerank, QA."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hipporag_spark.ops.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash,
+    simhash_near_pairs,
+)
+from hipporag_spark.ops.evaluation import exact_match, recall_at_k, token_f1
+from hipporag_spark.ops.multimodal import attach_fake_media, extract_features, frame_sample_plan
+from hipporag_spark.ops.similarity import brute_force_topk, lsh_topk
+from hipporag_spark.ops.textstats import fingerprint, lang_id, quality_score, token_stats
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups(spark):
+    df = docs_df(spark, ["a b c", "a b c", "x y z"])
+    rows = {r["text_hash"]: r for r in exact_dedup(df).collect()}
+    assert len(rows) == 2
+    dup = [r for r in rows.values() if r["n_docs"] == 2][0]
+    assert dup["keeper"] == 0
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words appear within this unrelated document body text"
+    df = docs_df(spark, [base, near, other])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard(df, minhash_lsh_pairs(df)).collect()}
+    assert 0.5 < j[(0, 1)] < 1.0
+
+
+def test_simhash_near_pairs_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs_df(spark, [base, base + " lambda", "unrelated totally different content here now"])
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    h01 = bin(sims[0] ^ sims[1]).count("1")
+    h02 = bin(sims[0] ^ sims[2]).count("1")
+    assert h01 < h02
+    assert all(0 <= s < 2**16 for s in sims.values())
+
+
+def test_embedding_near_dup_symmetric_threshold(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.999, 0.01]),
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = embedding_near_dup(emb, threshold=0.9).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in rows} == {(0, 1)}
+
+
+def test_lsh_topk_is_subset_quality(spark):
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((100, 16)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(5)], "query_id long, embedding array<float>"
+    )
+    bf = brute_force_topk(emb, q, k=10).collect()
+    ls = lsh_topk(emb, q, k=10, num_planes=2, dim=16).collect()
+    assert len(bf) == 50
+    # every LSH hit is a real pair with the true (rounded) score
+    bfmap = {(r["query_id"], r["vec_id"]): r["score"] for r in bf}
+    allscores = {}
+    for r in ls:
+        # lsh scores must equal exact dot (same rounding)
+        d = round(float(M[r["query_id"]] @ M[r["vec_id"]].astype(np.float64)), 6)
+        assert abs(r["score"] - d) < 2e-6
+
+
+def test_textstats_shapes(spark):
+    df = docs_df(spark, ["the cat sat", "a a a a"])
+    ts = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert ts[0]["n_tokens"] == 3 and ts[0]["n_distinct_tokens"] == 3
+    assert ts[1]["n_tokens"] == 4 and ts[1]["n_distinct_tokens"] == 1
+    q = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert q[1]["type_token_ratio"] == 0.25
+    assert q[0]["stopword_ratio"] == round(1 / 3, 6)
+    li = {r["doc_id"]: r for r in lang_id(df).collect()}
+    assert li[0]["predicted_lang"] == "en"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = docs_df(spark, ["alpha beta gamma", "gamma beta alpha"])
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fps[0] != fps[1]
+    df2 = docs_df(spark, ["alpha beta gamma"])
+    assert fingerprint(df2).collect()[0]["fingerprint"] == fps[0]
+
+
+def test_multimodal_plumbing(spark):
+    docs = docs_df(spark, ["hello world", "foo bar baz", "xyz"])
+    media = attach_fake_media(docs.withColumn("doc_id", F.col("doc_id")))
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert len(r["feature"]) == 8
+        v = np.array(r["feature"])
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    feats2 = extract_features(media, dim=8).collect()
+    assert [list(r["feature"]) for r in sorted(feats, key=lambda x: x["media_id"])] == [
+        list(r["feature"]) for r in sorted(feats2, key=lambda x: x["media_id"])
+    ]
+    plan = frame_sample_plan(media, every_ms=50).collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    assert len({r["media_id"] for r in plan}) == len(vids)
+
+
+def test_recall_at_k(spark):
+    results = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3)],
+        "query_id string, chunk_id string, rank int",
+    )
+    gold = spark.createDataFrame(
+        [("q1", ["d2", "d9"])], "query_id string, gold_chunk_ids array<string>"
+    )
+    row = recall_at_k(results, gold, ks=[1, 2]).collect()[0]
+    assert row["recall_at_1"] == 0.0
+    assert row["recall_at_2"] == 0.5
+
+
+def test_em_and_f1(spark):
+    pred = spark.createDataFrame(
+        [("q1", "The Eiffel Tower!", ["eiffel tower"]), ("q2", "paris", ["london"])],
+        "query_id string, answer string, gold_answers array<string>",
+    )
+    em = {r["query_id"]: r["em"] for r in exact_match(pred).collect()}
+    assert em == {"q1": 1.0, "q2": 0.0}
+    f1 = {r["query_id"]: r["f1"] for r in token_f1(pred).collect()}
+    assert f1["q1"] == 1.0 and f1["q2"] == 0.0
+
+
+def test_rerank_and_qa(spark):
+    from hipporag_spark.retrieval.qa import assemble_prompts, qa_read
+    from hipporag_spark.retrieval.rerank import DeterministicFilter, closest_match, rerank_facts
+
+    tf = spark.createDataFrame(
+        [("q1", "h1", "fact one", 0.9), ("q1", "h2", "fact two", 0.2)],
+        "query_id string, hash_id string, content string, score double",
+    )
+    kept = rerank_facts(tf, DeterministicFilter(min_score=0.5)).collect()
+    assert [(r["query_id"], r["hash_id"]) for r in kept] == [("q1", "h1")]
+    # closest-match guard maps mutated strings back to candidates
+    assert closest_match(["fact onee"], ["fact one", "fact two"]) == ["fact one"]
+
+    retrieved = spark.createDataFrame(
+        [("q1", "c1", 1), ("q1", "c2", 2)], "query_id string, chunk_id string, rank int"
+    )
+    passages = spark.createDataFrame(
+        [("c1", "passage alpha"), ("c2", "passage beta")], "chunk_id string, passage string"
+    )
+    questions = spark.createDataFrame([("q1", "what is alpha?")], "query_id string, question string")
+    prompts = assemble_prompts(retrieved, passages, questions)
+    p = prompts.collect()[0]["prompt"]
+    assert "passage alpha" in p and "Question: what is alpha?" in p
+    ans = qa_read(prompts).collect()[0]
+    assert ans["answer"] == "what is alpha?"
