@@ -72,12 +72,16 @@ def main() -> None:
     # ---- PPR (the centerpiece) ----
     from hipporag_spark.algo.ppr import personalized_pagerank
 
+    from hipporag_spark.algo.ppr import default_num_blocks
+
+    blocks = default_num_blocks(n_edges, cpus)
+    extras["ppr_num_blocks"] = blocks
     ids = [r["id"] for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(5).collect()]
     reset = spark.createDataFrame([(int(i), 1.0) for i in ids], "id long, weight double")
     with timed("ppr"):
         ranks, lineage = personalized_pagerank(
             spark, adj, st, verts.select("id"), n_vertices=n_vertices,
-            reset_df=reset, damping=0.5, engine="csr", num_blocks=cpus,
+            reset_df=reset, damping=0.5, engine="csr", num_blocks=blocks,
         )
         ranks.count()
     steps = len(lineage)
@@ -99,10 +103,12 @@ def main() -> None:
         [(f"q{j}", int(i), 1.0) for j, i in enumerate(ent_ids)],
         "query_id string, id long, weight double",
     )
+    batch_engine = os.environ.get("SPARK_GRAFT_BATCH_ENGINE", "csr")
     with timed("ppr_batch"):
         branks, blineage = personalized_pagerank_batch(
             spark, adj, st, verts.select("id"), breset,
-            n_vertices=n_vertices, damping=0.5, num_blocks=cpus,
+            n_vertices=n_vertices, damping=0.5, num_blocks=blocks,
+            engine=batch_engine, check_every=3,
         )
         branks.count()
     bsteps = len(blineage)
@@ -118,12 +124,12 @@ def main() -> None:
     from hipporag_spark.algo.triangles import triangle_count
 
     with timed("connected_components"):
-        comp, cc_lin = connected_components(spark, adj, verts.select("id"), num_blocks=cpus)
+        comp, cc_lin = connected_components(spark, adj, verts.select("id"), num_blocks=blocks)
         comp.count()
     extras["cc_supersteps"] = len(cc_lin)
 
     with timed("label_propagation"):
-        labels, _ = label_propagation(spark, adj, verts.select("id"), max_iter=5, num_blocks=cpus)
+        labels, _ = label_propagation(spark, adj, verts.select("id"), max_iter=5, num_blocks=blocks)
         labels.count()
 
     with timed("triangle_count"):
@@ -138,13 +144,29 @@ def main() -> None:
             dq.all_queries()[name](spark, sf_dir).count()
 
     # compute-bound exact KNN: all-pairs blocked cogroup matmul over the
-    # embeddings table (O(n²·d) FLOPs — the scaling-efficiency workhorse)
+    # embeddings table replicated R× (O((Rn)²·d) FLOPs — the scaling-
+    # efficiency workhorse; the driver table is small at every SF)
     from hipporag_spark.retrieval.knn import knn
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    items = emb.select(F.col("vec_id").cast("string").alias("key"), "embedding")
+    R = int(os.environ.get("SPARK_GRAFT_KNN_REPLICATE", "8"))
+    reps = spark.range(R).select(F.col("id").alias("rep"))
+    items = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            F.concat_ws("_", F.col("vec_id").cast("string"), F.col("rep").cast("string")).alias("key"),
+            "embedding",
+        )
+        .persist()
+    )
+    n_items = items.count()
+    extras["knn_items"] = n_items
+    # block count from data: total work (query replication × item blocks)
+    # must be identical at every parallelism level
+    knn_blocks = max(1, n_items // 1500)
+    extras["knn_blocks"] = knn_blocks
     with timed("knn_all_pairs"):
-        nn = knn(items, items, k=5, num_blocks=cpus, exclude_self=True)
+        nn = knn(items, items, k=5, num_blocks=knn_blocks, exclude_self=True)
         n_emb = nn.count()
     extras["knn_result_rows"] = n_emb
 

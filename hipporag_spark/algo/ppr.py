@@ -44,6 +44,21 @@ from pyspark.sql import functions as F
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
 from ..graph.csr import block_of, compile_csr
 
+EDGES_PER_BLOCK = 25_000
+
+
+def default_num_blocks(n_edges: int, parallelism: int = 0) -> int:
+    """Block count is a DATA property (≈ EDGES_PER_BLOCK adjacency rows per
+    block), independent of cluster size.
+
+    Measured on local mode: 32 blocks on a 170k-edge graph made each PPR
+    superstep 2.5× slower than 8 blocks (more tasks + pandas workers than
+    actual work); conversely, tying blocks to cores makes two cluster sizes
+    run *different* physical plans, which both hurts the larger one and
+    invalidates scaling comparisons. Blocks ≫ cores is fine — tasks queue.
+    """
+    return int(max(1, n_edges // EDGES_PER_BLOCK + 1))
+
 
 def sanitize_reset(reset_df: DataFrame) -> DataFrame:
     """NaN / negative reset entries → 0 (``HippoRAG.py:1598``)."""
@@ -118,8 +133,13 @@ def personalized_pagerank_batch(
     checkpoint_dir: str | None = None,
     run_id: str | None = None,
     check_every: int = 1,
+    engine: str = "csr",
 ) -> tuple[DataFrame, list[dict]]:
     """Multi-source PPR: one superstep loop scores Q queries at once.
+
+    ``engine="dataframe"`` replaces the pandas SpMV with a pure-JVM
+    join + partial-aggregate plan (whole-stage codegen; no Arrow transfer
+    of the Q×V rank table per superstep) — preferable when Q is large.
 
     ``check_every``: run the convergence/metrics aggregate every K-th
     superstep (checkpoints follow the same cadence). Power iteration is a
@@ -141,7 +161,15 @@ def personalized_pagerank_batch(
     if n == 0:
         return spark.createDataFrame([], "query_id string, id long, value double"), []
     P = num_blocks or spark.sparkContext.defaultParallelism
-    if csr is None:
+    if engine == "dataframe":
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        adj_norm = (
+            adj.join(strength_df, adj.src == strength_df.id)
+            .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm"))
+            .repartition(shuffle_p, "src")
+            .persist()
+        )
+    elif csr is None:
         csr = compile_csr(adj, strength_df, P)
 
     # per-query sanitized + normalized reset (sum=1 within each query)
@@ -251,29 +279,38 @@ def personalized_pagerank_batch(
     converged = False
     for step in range(start_step, max_iter):
         t0 = time.time()
-        ranks_blocked = ranks.withColumn("block", block_of(F.col("id"), P))
-        partials = (
-            ranks_blocked.groupby("block")
-            .cogroup(csr.groupby("block"))
-            .applyInPandas(lambda l, r: kernel(l, r), "query_id string, dst long, partial double")
-        )
-        contrib = partials.groupBy("query_id", "dst").agg(F.sum("partial").alias("contrib"))
-
+        # per-query teleport term enters the aggregation as extra rows
+        # (full outer joins can't broadcast; this keeps one shuffle/step)
         base_df = spark.createDataFrame(
             [(q, (1.0 - damping) + damping * dangling_mass[q]) for q in qids],
             "query_id string, base double",
         )
-        new_ranks = (
-            contrib.withColumnRenamed("dst", "id")
-            .join(reset, ["query_id", "id"], "full_outer")
-            .join(F.broadcast(base_df), "query_id")
-            .select(
-                "query_id", "id",
-                (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.col("base") * F.coalesce(F.col("reset"), F.lit(0.0))
-                ).alias("value"),
+        reset_rows = reset.join(F.broadcast(base_df), "query_id").select(
+            "query_id",
+            F.col("id").alias("dst"),
+            (F.col("base") * F.col("reset")).alias("partial"),
+        )
+        if engine == "dataframe":
+            contribs = adj_norm.join(ranks, adj_norm.src == ranks.id).select(
+                "query_id",
+                "dst",
+                (F.lit(damping) * F.col("value") * F.col("w_norm")).alias("partial"),
             )
+            # (query_id, dst) composite key spreads hub-dst rows; partial
+            # aggregation (map-side combine) handles the rest
+            partials = contribs
+        else:
+            ranks_blocked = ranks.withColumn("block", block_of(F.col("id"), P))
+            partials = (
+                ranks_blocked.groupby("block")
+                .cogroup(csr.groupby("block"))
+                .applyInPandas(lambda l, r: kernel(l, r), "query_id string, dst long, partial double")
+            )
+        new_ranks = (
+            partials.unionByName(reset_rows)
+            .groupBy("query_id", "dst")
+            .agg(F.sum("partial").alias("value"))
+            .withColumnRenamed("dst", "id")
             .persist()
         )
 
@@ -443,10 +480,22 @@ def personalized_pagerank(
     converged = False
     for step in range(start_step, max_iter):
         t0 = time.time()
+        # the reset/teleport term rides INTO the aggregation as extra rows
+        # (weight = base·reset) instead of a full-outer join afterwards — a
+        # full outer can never broadcast, so this removes one O(V) shuffle
+        # join per superstep
+        base = (1.0 - damping) + damping * dangling_mass
+        reset_rows = reset.select(F.col("id").alias("dst"), (F.lit(base) * F.col("reset")).alias("partial"))
         if engine == "csr":
             ranks_blocked = ranks.withColumn("block", block_of(F.col("id"), P))
             partials = _spmv_csr(ranks_blocked, csr, damping)
-            contrib = partials.groupBy("dst").agg(F.sum("partial").alias("contrib"))
+            new_ranks = (
+                partials.unionByName(reset_rows)
+                .groupBy("dst")
+                .agg(F.sum("partial").alias("value"))
+                .withColumnRenamed("dst", "id")
+                .persist()
+            )
         else:
             contribs = adj_norm.join(ranks, adj_norm.src == ranks.id).select(
                 "dst",
@@ -454,26 +503,15 @@ def personalized_pagerank(
                 F.pmod(F.col("src"), F.lit(salt_buckets)).alias("salt"),
             )
             # explicit salted two-phase aggregation (hub-dst skew mitigation)
-            contrib = (
+            new_ranks = (
                 contribs.groupBy("dst", "salt")
                 .agg(F.sum("c").alias("c1"))
+                .unionByName(reset_rows.withColumnRenamed("partial", "c1").withColumn("salt", F.lit(-1)))
                 .groupBy("dst")
-                .agg(F.sum("c1").alias("contrib"))
+                .agg(F.sum("c1").alias("value"))
+                .withColumnRenamed("dst", "id")
+                .persist()
             )
-
-        base = (1.0 - damping) + damping * dangling_mass
-        new_ranks = (
-            contrib.withColumnRenamed("dst", "id")
-            .join(reset, "id", "full_outer")
-            .select(
-                "id",
-                (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.lit(base) * F.coalesce(F.col("reset"), F.lit(0.0))
-                ).alias("value"),
-            )
-            .persist()
-        )
 
         # SINGLE action per superstep: per-block metrics + L1 delta + the
         # NEXT superstep's dangling mass, in one aggregate

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Scan + spread: the test tables are single parquet files (= one
+    input partition); repartition so compute-heavy map stages (shingling,
+    hashing, per-row scoring) use the whole cluster. Results are unaffected
+    — every downstream operator is partitioning-agnostic."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------- documents → extraction-shaped DataFrame ----------

@@ -52,19 +52,29 @@ def knn(
         F.pmod(F.xxhash64("key"), F.lit(num_blocks)).cast("int").alias("block"),
     )
     blocks = items_b.sparkSession.range(num_blocks).select(F.col("id").cast("int").alias("block"))
-    queries_r = queries.select(
-        F.col("key").alias("qkey"), F.col("embedding").alias("qemb")
-    ).crossJoin(F.broadcast(blocks))
+    # spread the query side BEFORE replication: a single-file scan is one
+    # partition, and the ×num_blocks crossJoin expansion (the serialization-
+    # heavy step) must not run on one core
+    queries_r = (
+        queries.select(F.col("key").alias("qkey"), F.col("embedding").alias("qemb"))
+        .repartition(min(num_blocks, 64))
+        .crossJoin(F.broadcast(blocks))
+    )
 
     def block_topk(q_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(q_pdf) == 0 or len(i_pdf) == 0:
             return pd.DataFrame({"qkey": [], "ikey": [], "score": []})
         # float64 accumulation: scores must agree with engine-independent
         # double-precision oracles at 1e-6 rounding
-        Q = np.stack(q_pdf["qemb"].map(np.asarray)).astype(np.float64)  # (nq, d)
-        I = np.stack(i_pdf["iemb"].map(np.asarray)).astype(np.float64)  # (ni, d)
+        Q = np.array(q_pdf["qemb"].tolist(), dtype=np.float64)  # (nq, d)
+        I = np.array(i_pdf["iemb"].tolist(), dtype=np.float64)  # (ni, d)
         qkeys = q_pdf["qkey"].to_numpy()
         ikeys = i_pdf["ikey"].to_numpy()
+        # self-exclusion happens AFTER the per-chunk top-k by taking k+1
+        # candidates: a full nq×ni key-equality mask is O(nq·ni) STRING
+        # compares and dominated the kernel ~10× over the matmul in
+        # profiling
+        take = k + 1 if exclude_self else k
         # chunk the query axis: bounds the score matrix to chunk×ni
         # (exactly the reference's blocked two-level top-k,
         # embed_utils.py:36-75 — batch_size there, chunk here)
@@ -72,23 +82,18 @@ def knn(
         outs = []
         for s in range(0, len(qkeys), chunk):
             S = Q[s : s + chunk] @ I.T
-            if exclude_self:
-                same = qkeys[s : s + chunk, None] == ikeys[None, :]
-                S[same] = -np.inf
-            kk = min(k, S.shape[1])
+            kk = min(take, S.shape[1])
             idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
             rows = np.repeat(np.arange(S.shape[0]), kk)
             cols = idx.ravel()
+            qk = qkeys[s : s + chunk][rows]
+            ik = ikeys[cols]
             scores = S[rows, cols]
-            keep = np.isfinite(scores)
+            if exclude_self:
+                keep = qk != ik  # chunk·(k+1) compares, not chunk·ni
+                qk, ik, scores = qk[keep], ik[keep], scores[keep]
             outs.append(
-                pd.DataFrame(
-                    {
-                        "qkey": qkeys[s : s + chunk][rows[keep]],
-                        "ikey": ikeys[cols[keep]],
-                        "score": scores[keep].astype(np.float64),
-                    }
-                )
+                pd.DataFrame({"qkey": qk, "ikey": ik, "score": scores.astype(np.float64)})
             )
         return pd.concat(outs, ignore_index=True)
 

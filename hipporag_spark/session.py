@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # small inputs arrive as one file = one partition; without a lower
+        # split size every compute-heavy map stage runs on ONE core
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -20,7 +20,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # pin BLAS/OMP to one thread per task: otherwise numpy matmuls inside
+    # pandas workers grab every machine core and the local[N] vs local[4N]
+    # comparison measures nothing
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        OPENBLAS_NUM_THREADS="1",
+        OMP_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,

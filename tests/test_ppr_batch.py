@@ -1,6 +1,7 @@
 """Batched multi-source PPR must equal Q independent single-source runs."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from hipporag_spark.algo.ppr import personalized_pagerank, personalized_pagerank_batch
@@ -9,7 +10,8 @@ from hipporag_spark.graph.build import adjacency, strength
 from oracles import ppr_reference, random_multigraph
 
 
-def test_batch_matches_single_and_oracle(spark):
+@pytest.mark.parametrize("engine,check_every", [("csr", 1), ("dataframe", 3)])
+def test_batch_matches_single_and_oracle(spark, engine, check_every):
     n, m = 50, 220
     edges = random_multigraph(n, m, seed=19)
     e = spark.createDataFrame(edges, "src long, dst long, weight double")
@@ -27,7 +29,8 @@ def test_batch_matches_single_and_oracle(spark):
     reset_df = spark.createDataFrame(rows, "query_id string, id long, weight double")
 
     ranks, lineage = personalized_pagerank_batch(
-        spark, adj, st, vids, reset_df, n_vertices=n, num_blocks=4
+        spark, adj, st, vids, reset_df, n_vertices=n, num_blocks=4,
+        engine=engine, check_every=check_every,
     )
     got = {q: np.zeros(n) for q in resets}
     for r in ranks.collect():
