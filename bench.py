@@ -1,21 +1,26 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line.
 
-Headline jobs:
+Headline jobs (all inputs/block counts are DATA-derived and pinned, never
+functions of the core count, so two parallelism levels run identical
+physical plans — the precondition for scaling comparisons):
 
 - ``graph_build``: synthetic repo_files (deterministic, size scaled to the
   SF dir) → extraction → vertex/edge/adjacency tables (counts forced).
-- ``ppr``: Personalized PageRank to L1 < 1e-6 on that graph (CSR engine);
-  also reports supersteps, supersteps/min, and edges/sec
-  (supersteps × adjacency rows / ppr seconds) — the BASELINE.json metric.
-- ``connected_components`` / ``label_propagation`` / ``triangle_count``
-  on the same graph.
+- ``ppr``: single-query Personalized PageRank to L1 < 1e-6 (packed block
+  engine — the distributed superstep/checkpoint machinery); reports
+  supersteps, supersteps/min, edges/sec (the BASELINE.json metric).
+- ``ppr_batch``: 32 queries via the broadcast-graph engine (the engine
+  `retrieve()` picks in this graph-fits-memory regime).
+- ``ppr_batch_blocked``: the same 32 queries through the packed block
+  (shuffle) engine — the beyond-memory scale path, tracked separately.
+- ``connected_components`` / ``label_propagation`` / ``triangle_count``.
 - pipeline ops at $SPARK_GRAFT_SF_DIR: minhash LSH pairs, simhash,
   token stats, blocked-cogroup KNN over the embeddings table.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_FILES (default scales
-with SF: 10000 at sf0.1).
+with SF: 10000 at sf0.1), SPARK_GRAFT_BENCH_QUERIES (default 32).
 """
 
 from __future__ import annotations
@@ -70,18 +75,22 @@ def main() -> None:
     extras["n_files"] = n_files
 
     # ---- PPR (the centerpiece) ----
-    from hipporag_spark.algo.ppr import personalized_pagerank
+    from hipporag_spark.algo.ppr import (
+        personalized_pagerank,
+        personalized_pagerank_batch,
+    )
+    from hipporag_spark.graph.blocked import compile_blocks, default_num_blocks
 
-    from hipporag_spark.algo.ppr import default_num_blocks
-
-    blocks = default_num_blocks(n_edges, cpus)
+    blocks = default_num_blocks(n_edges)
     extras["ppr_num_blocks"] = blocks
+    with timed("ppr_compile_blocks"):
+        bg = compile_blocks(adj, st, verts.select("id"), blocks)
     ids = [r["id"] for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(5).collect()]
     reset = spark.createDataFrame([(int(i), 1.0) for i in ids], "id long, weight double")
     with timed("ppr"):
         ranks, lineage = personalized_pagerank(
             spark, adj, st, verts.select("id"), n_vertices=n_vertices,
-            reset_df=reset, damping=0.5, engine="csr", num_blocks=blocks,
+            reset_df=reset, damping=0.5, engine="csr", graph=bg,
         )
         ranks.count()
     steps = len(lineage)
@@ -90,32 +99,43 @@ def main() -> None:
     extras["ppr_edges_per_sec"] = round(steps * n_edges / timings["ppr"], 1)
     extras["ppr_converged"] = bool(lineage and lineage[-1]["converged"])
 
-    # batched multi-source PPR: Q queries in one superstep loop — the
-    # retrieval workload shape; per-superstep overhead amortizes over Q
-    from hipporag_spark.algo.ppr import personalized_pagerank_batch
-
+    # batched multi-source PPR: Q PINNED queries (never a function of cpus)
     n_queries = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "32"))
     ent_ids = [
         r["id"]
         for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(n_queries).collect()
     ]
     breset = spark.createDataFrame(
-        [(f"q{j}", int(i), 1.0) for j, i in enumerate(ent_ids)],
+        [(f"q{j:03d}", int(i), 1.0) for j, i in enumerate(ent_ids)],
         "query_id string, id long, weight double",
     )
-    batch_engine = os.environ.get("SPARK_GRAFT_BATCH_ENGINE", "csr")
+    extras["ppr_batch_queries"] = len(ent_ids)
+
+    # broadcast-graph engine: the retrieval-regime engine (graph fits memory)
     with timed("ppr_batch"):
         branks, blineage = personalized_pagerank_batch(
             spark, adj, st, verts.select("id"), breset,
-            n_vertices=n_vertices, damping=0.5, num_blocks=blocks,
-            engine=batch_engine, check_every=3,
+            n_vertices=n_vertices, damping=0.5, engine="broadcast",
         )
         branks.count()
-    bsteps = len(blineage)
-    extras["ppr_batch_queries"] = len(ent_ids)
-    extras["ppr_batch_supersteps"] = bsteps
+    b_iters = blineage[0].get("total_iterations", 0)
+    extras["ppr_batch_engine"] = "broadcast"
+    extras["ppr_batch_total_iterations"] = b_iters
     extras["ppr_batch_query_edges_per_sec"] = round(
-        bsteps * n_edges * len(ent_ids) / timings["ppr_batch"], 1
+        b_iters * n_edges / timings["ppr_batch"], 1
+    )
+
+    # packed block (shuffle) engine on the same queries: the beyond-memory path
+    with timed("ppr_batch_blocked"):
+        branks2, blineage2 = personalized_pagerank_batch(
+            spark, adj, st, verts.select("id"), breset,
+            n_vertices=n_vertices, damping=0.5, graph=bg, engine="csr",
+        )
+        branks2.count()
+    bsteps = len(blineage2)
+    extras["ppr_batch_blocked_supersteps"] = bsteps
+    extras["ppr_batch_blocked_query_edges_per_sec"] = round(
+        bsteps * n_edges * len(ent_ids) / timings["ppr_batch_blocked"], 1
     )
 
     # ---- other algorithms on the same graph ----
@@ -144,8 +164,9 @@ def main() -> None:
             dq.all_queries()[name](spark, sf_dir).count()
 
     # compute-bound exact KNN: all-pairs blocked cogroup matmul over the
-    # embeddings table replicated R× (O((Rn)²·d) FLOPs — the scaling-
-    # efficiency workhorse; the driver table is small at every SF)
+    # embeddings table replicated R× (O((Rn)²·d) FLOPs). Block count from
+    # DATA (≈500 items/block) so both parallelism levels run the same plan
+    # with enough independent tasks to fill either cluster.
     from hipporag_spark.retrieval.knn import knn
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -161,9 +182,7 @@ def main() -> None:
     )
     n_items = items.count()
     extras["knn_items"] = n_items
-    # block count from data: total work (query replication × item blocks)
-    # must be identical at every parallelism level
-    knn_blocks = max(1, n_items // 1500)
+    knn_blocks = max(1, n_items // 500)
     extras["knn_blocks"] = knn_blocks
     with timed("knn_all_pairs"):
         nn = knn(items, items, k=5, num_blocks=knn_blocks, exclude_self=True)

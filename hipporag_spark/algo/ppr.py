@@ -12,23 +12,33 @@ damping default 0.5 ``config_utils.py:180-183``):
              + d·Σ_u r[u]·W[u,v]/strength(u)
     stop   when Σ|r'-r| < tol   (tol 1e-6, ≤100 iters)
 
-Two physical engines, same math:
+Three physical engines, same math, chosen by where the data fits:
 
-- ``engine="csr"`` (default): per-block CSR SpMV via a cogrouped
-  ``applyInPandas`` — ranks and CSR blocks meet on ``block = src % P``;
-  contributions are pre-aggregated by dst INSIDE each block (NumPy bincount
-  = map-side combine; equivalently a salted two-phase aggregate with the
-  src-block as salt), so the global ``groupBy(dst).sum`` sees ≤ P rows per
-  key no matter how extreme the hub skew.
+- ``engine="csr"`` (default): the packed block engine
+  (:mod:`..graph.blocked`). A superstep is ONE Spark job of two cogrouped
+  stages — per-block SpMV with in-block dst pre-aggregation (the src block
+  is the salt of a two-phase aggregate, so hub skew never concentrates on
+  one task), then a per-block combine that applies reset/teleport and
+  computes L1 delta + dangling mass + per-partition metrics in the same
+  pass. State is O(P) packed rows, not O(V) scalar rows: round-1 profiling
+  showed the row-per-vertex formulation spent ~2.5 s/superstep on
+  scheduling + Arrow overhead and ANTI-scaled with cores. Works at any
+  graph size; per-task memory is bounded by block size.
+- ``engine="broadcast"`` (batch): when the graph's COO arrays fit in
+  executor memory (the HippoRAG retrieval regime — millions of vertices,
+  thousands of queries), broadcast the graph ONCE and partition by query:
+  each task runs whole power iterations for its queries with zero
+  per-superstep scheduling or shuffle. Embarrassingly parallel in Q; the
+  scaling-efficiency workhorse. Falls back to "csr" when a checkpoint dir
+  is requested (per-superstep durability needs the superstep loop).
 - ``engine="dataframe"``: pure Catalyst plan — join + explicit salted
-  two-phase aggregation — kept as a cross-check and a plan the optimizer
-  can reason about end-to-end.
-
-Each superstep runs exactly one action (a per-block metrics aggregate that
-also yields the L1 delta and next dangling mass), then optionally persists
-state + manifest through the CheckpointManager (resume contract).
+  two-phase aggregation — kept as a cross-check the optimizer can reason
+  about end-to-end.
 
 Float64 throughout; scores sum to 1 at convergence like the reference.
+Checkpoint contract (north rule): each superstep of the csr engine persists
+the packed rank vector + per-partition lineage metrics; a killed run
+resumes from the latest complete superstep bit-for-bit.
 """
 
 from __future__ import annotations
@@ -42,22 +52,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
-from ..graph.csr import block_of, compile_csr
+from ..graph.blocked import BlockGraph, build_runstate, compile_blocks, default_num_blocks
+from ..graph.csr import block_of
 
-EDGES_PER_BLOCK = 25_000
-
-
-def default_num_blocks(n_edges: int, parallelism: int = 0) -> int:
-    """Block count is a DATA property (≈ EDGES_PER_BLOCK adjacency rows per
-    block), independent of cluster size.
-
-    Measured on local mode: 32 blocks on a 170k-edge graph made each PPR
-    superstep 2.5× slower than 8 blocks (more tasks + pandas workers than
-    actual work); conversely, tying blocks to cores makes two cluster sizes
-    run *different* physical plans, which both hurts the larger one and
-    invalidates scaling comparisons. Blocks ≫ cores is fine — tasks queue.
-    """
-    return int(max(1, n_edges // EDGES_PER_BLOCK + 1))
+__all__ = [
+    "personalized_pagerank",
+    "personalized_pagerank_batch",
+    "default_num_blocks",
+    "sanitize_reset",
+]
 
 
 def sanitize_reset(reset_df: DataFrame) -> DataFrame:
@@ -68,12 +71,8 @@ def sanitize_reset(reset_df: DataFrame) -> DataFrame:
 
 
 def _prep_reset(vertex_ids: DataFrame, n: int, reset_df: DataFrame | None) -> DataFrame:
-    """Normalized reset probabilities as ``(id, reset)``, Σ=1.
-
-    Zero / absent reset → uniform (SimpleGraph.kt:139-140). The returned
-    frame is sparse (only nonzero entries) and usually tiny → broadcast at
-    the join site.
-    """
+    """Normalized reset probabilities as ``(id, reset)``, Σ=1 (dataframe
+    engine). Zero / absent reset → uniform (SimpleGraph.kt:139-140)."""
     if reset_df is not None:
         clean = sanitize_reset(reset_df).filter(F.col("weight") > 0)
         total = clean.agg(F.sum("weight")).collect()[0][0]
@@ -82,99 +81,15 @@ def _prep_reset(vertex_ids: DataFrame, n: int, reset_df: DataFrame | None) -> Da
     return vertex_ids.select("id", F.lit(1.0 / n).alias("reset"))
 
 
-def _spmv_csr(ranks_blocked, csr, damping: float, schema="dst long, partial double"):
-    """Cogrouped per-block SpMV with in-block dst pre-aggregation."""
-
-    def kernel(ranks_pdf: pd.DataFrame, csr_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(ranks_pdf) == 0 or len(csr_pdf) == 0:
-            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
-        rid = ranks_pdf["id"].to_numpy()
-        rval = ranks_pdf["value"].to_numpy()
-        order = np.argsort(rid, kind="mergesort")
-        rid, rval = rid[order], rval[order]
-        outs = []
-        for _, row in csr_pdf.iterrows():
-            src_ids = np.asarray(row["src_ids"], dtype=np.int64)
-            indptr = np.asarray(row["indptr"], dtype=np.int64)
-            dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
-            w_norm = np.asarray(row["w_norm"], dtype=np.float64)
-            pos = np.searchsorted(rid, src_ids)
-            pos_c = np.clip(pos, 0, len(rid) - 1)
-            hit = rid[pos_c] == src_ids
-            src_val = np.where(hit, rval[pos_c], 0.0)
-            edge_val = np.repeat(src_val, np.diff(indptr))
-            contrib = damping * edge_val * w_norm
-            # in-block combine by dst (the salt phase of the two-phase agg)
-            uniq_dst, inv = np.unique(dst_ids, return_inverse=True)
-            sums = np.bincount(inv, weights=contrib)
-            nz = sums != 0.0
-            outs.append(pd.DataFrame({"dst": uniq_dst[nz], "partial": sums[nz]}))
-        if not outs:
-            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
-        return pd.concat(outs, ignore_index=True)
-
-    return ranks_blocked.groupby("block").cogroup(csr.groupby("block")).applyInPandas(
-        lambda left, right: kernel(left, right), schema=schema
-    )
-
-
-def personalized_pagerank_batch(
-    spark: SparkSession,
-    adj: DataFrame,
-    strength_df: DataFrame,
-    vertex_ids: DataFrame,
-    reset_df: DataFrame,
-    n_vertices: int | None = None,
-    damping: float = 0.5,
-    tol: float = 1e-6,
-    max_iter: int = 100,
-    num_blocks: int | None = None,
-    csr: DataFrame | None = None,
-    checkpoint_dir: str | None = None,
-    run_id: str | None = None,
-    check_every: int = 1,
-    engine: str = "csr",
-) -> tuple[DataFrame, list[dict]]:
-    """Multi-source PPR: one superstep loop scores Q queries at once.
-
-    ``engine="dataframe"`` replaces the pandas SpMV with a pure-JVM
-    join + partial-aggregate plan (whole-stage codegen; no Arrow transfer
-    of the Q×V rank table per superstep) — preferable when Q is large.
-
-    ``check_every``: run the convergence/metrics aggregate every K-th
-    superstep (checkpoints follow the same cadence). Power iteration is a
-    contraction, so overshooting by up to K-1 supersteps only tightens the
-    result — the tol-1e-6 contract holds; skipped steps cost one
-    materialization job instead of two. (With dangling vertices present, a
-    small per-query dangling aggregate still runs on skipped steps — the
-    next step's teleport term needs it.)
-
-    ``reset_df``: ``(query_id, id, weight)``. Returns ranks
-    ``(query_id, id, value)``. Each query's math is independent and matches
-    :func:`personalized_pagerank` exactly; batching amortizes the per-
-    superstep scheduling/shuffle cost across queries (the reference loops
-    per query, ``HippoRAG.py:409-426``). Convergence = every query's L1
-    delta < tol; per-query dangling mass rides in a driver dict refreshed
-    by the same single metrics action.
-    """
-    n = n_vertices if n_vertices is not None else vertex_ids.count()
-    if n == 0:
-        return spark.createDataFrame([], "query_id string, id long, value double"), []
-    P = num_blocks or spark.sparkContext.defaultParallelism
-    if engine == "dataframe":
-        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        adj_norm = (
-            adj.join(strength_df, adj.src == strength_df.id)
-            .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm"))
-            .repartition(shuffle_p, "src")
-            .persist()
-        )
-    elif csr is None:
-        csr = compile_csr(adj, strength_df, P)
-
-    # per-query sanitized + normalized reset (sum=1 within each query)
+def _normalize_resets(
+    spark: SparkSession, reset_df: DataFrame
+) -> tuple[DataFrame, list[str], set[str]]:
+    """Batch reset prep: sanitize per query, normalize to Σ=1, detect
+    all-zero queries (→ uniform). Returns (sparse reset rows, qids,
+    uniform query set)."""
     clean = reset_df.select(
-        "query_id", "id",
+        "query_id",
+        "id",
         F.when(
             F.isnan(F.col("weight").cast("double"))
             | F.col("weight").isNull()
@@ -183,34 +98,173 @@ def personalized_pagerank_batch(
         ).otherwise(F.col("weight").cast("double")).alias("weight"),
     ).filter(F.col("weight") > 0)
     totals = clean.groupBy("query_id").agg(F.sum("weight").alias("total"))
-    reset = clean.join(totals, "query_id").select(
+    reset_rows = clean.join(totals, "query_id").select(
         "query_id", "id", (F.col("weight") / F.col("total")).alias("reset")
     )
-    # queries whose reset is entirely zero/invalid → uniform reset
-    # (SimpleGraph.kt:139-140 per query)
-    all_qids = reset_df.select("query_id").distinct()
-    zero_q = all_qids.join(totals, "query_id", "left_anti")
-    # loop-invariant inputs: EAGER localCheckpoint, not just persist — a
-    # caller-supplied reset can carry an arbitrarily deep lineage (the
-    # retrieval scoring pipeline), and every superstep's plan would drag it
-    # through analysis again
-    reset = reset.unionByName(
-        zero_q.crossJoin(vertex_ids).select(
-            "query_id", "id", F.lit(1.0 / n).alias("reset")
-        )
-    ).localCheckpoint(eager=True)
-    qids = [r["query_id"] for r in all_qids.collect()]
+    qids = sorted(r["query_id"] for r in reset_df.select("query_id").distinct().collect())
+    nonzero = {r["query_id"] for r in totals.collect()}
+    uniform_q = {q for q in qids if q not in nonzero}
+    return reset_rows, qids, uniform_q
 
-    dangling_ids = vertex_ids.join(
-        strength_df.filter(F.col("strength") > 0), "id", "left_anti"
-    ).localCheckpoint(eager=True)
-    n_dangling = dangling_ids.count()
+
+# --------------------------------------------------------------------------
+# packed block engine (engine="csr")
+# --------------------------------------------------------------------------
+
+_PARTIAL_SCHEMA = (
+    "dblk int, query_id string, kind int, src int, idx array<int>, vals array<double>"
+)
+_OUT_SCHEMA = (
+    "query_id string, block int, vals array<double>, "
+    "delta double, dmass double, mass double, nrows long"
+)
+_EMPTY_PARTIALS = pd.DataFrame(
+    {
+        "dblk": pd.Series(dtype="int32"),
+        "query_id": pd.Series(dtype="object"),
+        "kind": pd.Series(dtype="int32"),
+        "src": pd.Series(dtype="int32"),
+        "idx": pd.Series(dtype="object"),
+        "vals": pd.Series(dtype="object"),
+    }
+)
+
+
+def _make_spmv_kernel(damping: float):
+    """Stage-1 kernel: per src-block SpMV for all queries at once, emitting
+    sparse pre-aggregated partials keyed by dst block, PLUS the old rank
+    rows forwarded to their own block (kind=0) so stage 2 can compute the
+    L1 delta without any extra join."""
+
+    def kernel(r_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(r_pdf) == 0:
+            return _EMPTY_PARTIALS
+        r_pdf = r_pdf.sort_values("query_id", kind="mergesort")
+        blk = int(r_pdf["block"].iloc[0])
+        qlist = r_pdf["query_id"].tolist()
+        nq = len(qlist)
+        rows: list[tuple] = []
+        for q, v in zip(qlist, r_pdf["vals"]):
+            rows.append((blk, q, 0, blk, None, np.asarray(v, dtype=np.float64)))
+        if len(s_pdf):
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in r_pdf["vals"]])
+            qoff = np.arange(nq, dtype=np.int64)[:, None]
+            for srow in s_pdf.itertuples(index=False):
+                src_idx = np.asarray(srow.src_idx, dtype=np.int64)
+                w = np.asarray(srow.w, dtype=np.float64)
+                inv = np.asarray(srow.dst_inv, dtype=np.int64)
+                uniq = np.asarray(srow.dst_uniq, dtype=np.int32)
+                nu = len(uniq)
+                contrib = V[:, src_idx] * w  # (nq, n_edges)
+                flat = (inv[None, :] + qoff * nu).ravel()
+                sums = (
+                    damping
+                    * np.bincount(flat, weights=contrib.ravel(), minlength=nq * nu)
+                ).reshape(nq, nu)
+                for qi, q in enumerate(qlist):
+                    rows.append((int(srow.dblk), q, 1, blk, uniq, sums[qi]))
+        return pd.DataFrame(
+            rows, columns=["dblk", "query_id", "kind", "src", "idx", "vals"]
+        )
+
+    return kernel
+
+
+def _make_combine_kernel(
+    base_by_q: dict[str, float],
+    uniform_q: set[str],
+    qpos: dict[str, int],
+    n: int,
+):
+    """Stage-2 kernel: per dst-block combine. new = base·reset + Σ partials;
+    emits the next packed rank row plus per-(query, block) metrics (L1
+    delta, dangling mass, total mass) in the same pass — no extra action."""
+
+    def kernel(p_pdf: pd.DataFrame, rs_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "block", "vals", "delta", "dmass", "mass", "nrows"]
+        if len(rs_pdf) == 0 or len(p_pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        rs = rs_pdf.iloc[0]
+        blk = int(rs["block"])
+        ids = np.asarray(rs["ids"], dtype=np.int64)
+        n_b = len(ids)
+        dang = np.asarray(rs["dang"], dtype=np.int64)
+        reset_map = {
+            int(qi): (np.asarray(ix, dtype=np.int64), np.asarray(rv, dtype=np.float64))
+            for qi, ix, rv in zip(rs["qidx"], rs["ridx"], rs["rval"])
+        }
+        # deterministic accumulation order: sort by (query, kind, src block)
+        p_pdf = p_pdf.sort_values(["query_id", "kind", "src"], kind="mergesort")
+        out: list[tuple] = []
+        for q, grp in p_pdf.groupby("query_id", sort=True):
+            kinds = grp["kind"].to_numpy()
+            old_vals = grp["vals"].iloc[np.nonzero(kinds == 0)[0][0]]
+            old = np.asarray(old_vals, dtype=np.float64)
+            base = base_by_q[q]
+            if q in uniform_q:
+                new = np.full(n_b, base / n)
+            else:
+                new = np.zeros(n_b)
+                hit = reset_map.get(qpos[q])
+                if hit is not None:
+                    new[hit[0]] = base * hit[1]
+            pr = grp[kinds == 1]
+            if len(pr):
+                idxs = np.concatenate([np.asarray(a, dtype=np.int64) for a in pr["idx"]])
+                vls = np.concatenate([np.asarray(a, dtype=np.float64) for a in pr["vals"]])
+                new = new + np.bincount(idxs, weights=vls, minlength=n_b)
+            delta = float(np.abs(new - old).sum())
+            dmass = float(new[dang].sum()) if len(dang) else 0.0
+            out.append((q, blk, new, delta, dmass, float(new.sum()), n_b))
+        return pd.DataFrame(out, columns=cols)
+
+    return kernel
+
+
+def _unpack_ranks(ranks_packed: DataFrame, vstate: DataFrame) -> DataFrame:
+    """(query_id, block, vals) + block ids → (query_id, id, value), JVM-side."""
+    return (
+        ranks_packed.join(vstate.select("block", "ids"), "block")
+        .select("query_id", F.explode(F.arrays_zip("ids", "vals")).alias("z"))
+        .select("query_id", F.col("z.ids").alias("id"), F.col("z.vals").alias("value"))
+    )
+
+
+def _ppr_blocked(
+    spark: SparkSession,
+    bg: BlockGraph,
+    reset_rows: DataFrame,
+    qids: list[str],
+    uniform_q: set[str],
+    damping: float,
+    tol: float,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    run_id: str | None,
+    check_every: int,
+) -> tuple[DataFrame, list[dict]]:
+    """The shared superstep loop of the packed block engine.
+
+    Exactly one Spark job per superstep: cogroup SpMV → cogroup combine →
+    localCheckpoint → collect of the (q, block) metric columns (the packed
+    vectors stay executor-side). Convergence/metrics run EVERY superstep
+    (they're fused, hence free); ``check_every`` controls only the durable
+    checkpoint cadence.
+    """
+    n = bg.n_vertices
+    P = bg.num_blocks
+    qpos = {q: i for i, q in enumerate(qids)}
+    runstate = build_runstate(bg, reset_rows, qids, uniform_q, n)
+    spmv = _make_spmv_kernel(damping)
 
     qdf = spark.createDataFrame([(q,) for q in qids], "query_id string")
-    ranks = qdf.crossJoin(vertex_ids).select(
-        "query_id", "id", F.lit(1.0 / n).alias("value")
+    ranks = (
+        qdf.crossJoin(bg.vstate.select("block", F.size("ids").alias("nb")))
+        .select(
+            "query_id", "block", F.array_repeat(F.lit(1.0 / n), F.col("nb")).alias("vals")
+        )
     )
-    dangling_mass = {q: n_dangling / n for q in qids}
+    dangling_mass = {q: bg.n_dangling / n for q in qids}
 
     ckpt = None
     start_step = 0
@@ -222,101 +276,404 @@ def personalized_pagerank_batch(
             ranks, manifest = ckpt.load(spark, latest)
             lineage = ckpt.lineage()
             if manifest.get("converged"):
+                runstate.unpersist()
                 return ranks, lineage
             start_step = latest + 1
             dangling_mass = manifest["dangling_mass"]
-    ranks = ranks.persist()
-
-    def kernel(ranks_pdf: pd.DataFrame, csr_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": pd.Series(dtype="object"), "dst": pd.Series(dtype="int64"),
-             "partial": pd.Series(dtype="float64")}
-        )
-        if len(ranks_pdf) == 0 or len(csr_pdf) == 0:
-            return empty
-        qcat = pd.Categorical(ranks_pdf["query_id"])
-        qlabels = list(qcat.categories)
-        nq = len(qlabels)
-        rid = ranks_pdf["id"].to_numpy()
-        uniq_ids, inv_ids = np.unique(rid, return_inverse=True)
-        V = np.zeros((len(uniq_ids), nq))
-        V[inv_ids, qcat.codes] = ranks_pdf["value"].to_numpy()
-        outs = []
-        for _, row in csr_pdf.iterrows():
-            src_ids = np.asarray(row["src_ids"], dtype=np.int64)
-            indptr = np.asarray(row["indptr"], dtype=np.int64)
-            dst_ids = np.asarray(row["dst_ids"], dtype=np.int64)
-            w_norm = np.asarray(row["w_norm"], dtype=np.float64)
-            pos = np.searchsorted(uniq_ids, src_ids)
-            pos_c = np.clip(pos, 0, len(uniq_ids) - 1)
-            hit = uniq_ids[pos_c] == src_ids
-            src_val = np.where(hit[:, None], V[pos_c], 0.0)  # (n_src, nq)
-            reps = np.diff(indptr)
-            uniq_dst, inv = np.unique(dst_ids, return_inverse=True)
-            n_edges = len(dst_ids)
-            # chunk the query axis to bound the (n_edges × q_chunk)
-            # intermediate — large query batches stay within task memory
-            q_chunk = max(1, int(20_000_000 / max(1, n_edges)))
-            for qs in range(0, nq, q_chunk):
-                qe = min(nq, qs + q_chunk)
-                edge_val = np.repeat(src_val[:, qs:qe], reps, axis=0)
-                contrib = damping * edge_val * w_norm[:, None]
-                sums = np.zeros((len(uniq_dst), qe - qs))
-                for qi in range(qe - qs):
-                    sums[:, qi] = np.bincount(inv, weights=contrib[:, qi], minlength=len(uniq_dst))
-                nz_rows, nz_cols = np.nonzero(sums)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": [qlabels[qs + c] for c in nz_cols],
-                            "dst": uniq_dst[nz_rows],
-                            "partial": sums[nz_rows, nz_cols],
-                        }
-                    )
-                )
-        return pd.concat(outs, ignore_index=True) if outs else empty
+    ranks = ranks.localCheckpoint(eager=True)
 
     converged = False
+    prev = ranks
     for step in range(start_step, max_iter):
         t0 = time.time()
-        # per-query teleport term enters the aggregation as extra rows
-        # (full outer joins can't broadcast; this keeps one shuffle/step)
+        base_by_q = {
+            q: (1.0 - damping) + damping * dangling_mass[q] for q in qids
+        }
+        combine = _make_combine_kernel(base_by_q, uniform_q, qpos, n)
+        partials = (
+            ranks.groupby("block")
+            .cogroup(bg.subblocks.groupby("block"))
+            .applyInPandas(spmv, _PARTIAL_SCHEMA)
+        )
+        out = (
+            partials.groupby("dblk")
+            .cogroup(runstate.groupby("block"))
+            .applyInPandas(combine, _OUT_SCHEMA)
+        ).localCheckpoint(eager=False)
+        # the ONE action per superstep: materializes the packed vectors
+        # executor-side and pulls only the scalar metric columns
+        mrows = out.select(
+            "query_id", "block", "delta", "dmass", "mass", "nrows"
+        ).collect()
+
+        deltas = {q: 0.0 for q in qids}
+        dangling_mass = {q: 0.0 for q in qids}
+        for r in mrows:
+            deltas[r["query_id"]] += r["delta"]
+            dangling_mass[r["query_id"]] += r["dmass"]
+        delta = max(deltas.values()) if deltas else 0.0
+        converged = delta < tol
+        wall_ms = (time.time() - t0) * 1000
+        is_check = (
+            (step - start_step) % check_every == check_every - 1
+            or step == max_iter - 1
+            or converged
+        )
+        meta = SuperstepCheckpoint(
+            run_id=ckpt.run_id if ckpt else "in-memory",
+            superstep=step,
+            delta=delta,
+            converged=converged,
+            wall_ms=wall_ms,
+            partitions=[
+                {
+                    "query_id": r["query_id"],
+                    "block": r["block"],
+                    "rows": r["nrows"],
+                    "delta": r["delta"],
+                    "mass": r["mass"],
+                }
+                for r in mrows
+            ],
+            extra={
+                "engine": "blocked-csr",
+                "damping": damping,
+                "n_vertices": n,
+                "num_blocks": P,
+                "n_queries": len(qids),
+                "dangling_mass": dangling_mass,
+                "per_query_delta": deltas,
+            },
+        )
+        new_ranks = out.select("query_id", "block", "vals")
+        if ckpt is not None and is_check:
+            new_ranks = ckpt.write(new_ranks, meta)
+            out.unpersist()
+        prev.unpersist()
+        prev = new_ranks
+        ranks = new_ranks
+        lineage.append(
+            {
+                "run_id": meta.run_id,
+                "superstep": step,
+                "delta": delta,
+                "converged": converged,
+                "wall_ms": wall_ms,
+                "partitions": meta.partitions,
+            }
+        )
+        if converged:
+            break
+
+    runstate.unpersist()
+    return ranks, lineage
+
+
+# --------------------------------------------------------------------------
+# broadcast-graph engine (engine="broadcast", batch)
+# --------------------------------------------------------------------------
+
+def collect_graph_coo(
+    adj: DataFrame, strength_df: DataFrame, vertex_ids: DataFrame
+) -> dict:
+    """Arrow-collect the normalized graph into driver-side COO arrays for
+    broadcasting. Only valid when the arrays fit in executor memory — the
+    caller (or ``engine="auto"``) must gate on edge count; beyond that the
+    packed block engine is the scale path."""
+    vids = np.sort(
+        vertex_ids.select("id").toPandas()["id"].to_numpy(dtype=np.int64)
+    )
+    n = len(vids)
+    dense = n > 0 and vids[0] == 0 and vids[-1] == n - 1
+    e_pdf = (
+        adj.join(strength_df, adj.src == strength_df.id)
+        .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w"))
+        .toPandas()
+    )
+    src = e_pdf["src"].to_numpy(dtype=np.int64)
+    dst = e_pdf["dst"].to_numpy(dtype=np.int64)
+    w = e_pdf["w"].to_numpy(dtype=np.float64)
+    if not dense:
+        src = np.searchsorted(vids, src)
+        dst = np.searchsorted(vids, dst)
+    order = np.lexsort((dst, src))  # deterministic accumulation
+    src, dst, w = src[order], dst[order], w[order]
+    pos_ids = (
+        strength_df.filter(F.col("strength") > 0)
+        .select("id")
+        .toPandas()["id"]
+        .to_numpy(dtype=np.int64)
+    )
+    if not dense:
+        pos_ids = np.searchsorted(vids, np.sort(pos_ids))
+    mask = np.ones(n, dtype=bool)
+    mask[pos_ids] = False
+    dang = np.nonzero(mask)[0].astype(np.int64)
+    idt = np.int32 if n < 2**31 else np.int64
+    return {
+        "n": n,
+        "src": src.astype(idt),
+        "dst": dst.astype(idt),
+        "w": w,
+        "dang": dang,
+        "ids": None if dense else vids,
+    }
+
+
+def _ppr_broadcast_batch(
+    spark: SparkSession,
+    graph_coo: dict,
+    reset_df: DataFrame,
+    damping: float,
+    tol: float,
+    max_iter: int,
+) -> tuple[DataFrame, list[dict]]:
+    """Graph broadcast once; queries partitioned; each task runs its
+    queries' whole power iterations locally — zero per-superstep shuffle or
+    scheduling (the reference loops queries the same way,
+    ``HippoRAG.py:409-426``). Returns ranks with only nonzero entries
+    (exact zeros = unreachable vertices) plus a single-entry lineage whose
+    partitions carry per-query iterations/delta/convergence."""
+    t0 = time.time()
+    bc = spark.sparkContext.broadcast(graph_coo)
+    d = float(damping)
+
+    def run(batches):
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        g = bc.value
+        n, src, dst, w, dang = g["n"], g["src"], g["dst"], g["w"], g["dang"]
+        ids = g["ids"]
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for q, grp in pdf.groupby("query_id", sort=True):
+            wt = grp["weight"].to_numpy(dtype=np.float64)
+            wt = np.where(np.isnan(wt) | (wt < 0), 0.0, wt)
+            rid = grp["id"].to_numpy(dtype=np.int64)
+            if ids is not None:
+                rid = np.searchsorted(ids, rid)
+            tot = wt.sum()
+            reset = np.zeros(n)
+            if tot > 0:
+                np.add.at(reset, rid, wt / tot)
+            else:
+                reset[:] = 1.0 / n
+            r = np.full(n, 1.0 / n)
+            conv = False
+            delta = 0.0
+            iters = 0
+            for _ in range(max_iter):
+                dm = r[dang].sum() if len(dang) else 0.0
+                base = (1.0 - d) + d * dm
+                new = d * np.bincount(dst, weights=r[src] * w, minlength=n) + base * reset
+                delta = float(np.abs(new - r).sum())
+                r = new
+                iters += 1
+                if delta < tol:
+                    conv = True
+                    break
+            nz = np.nonzero(r)[0]
+            out_ids = ids[nz] if ids is not None else nz
+            yield pd.DataFrame(
+                {"query_id": q, "id": out_ids.astype(np.int64), "value": r[nz]}
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": [q, q, q],
+                    "id": [-1, -2, -3],
+                    "value": [float(iters), delta, 1.0 if conv else 0.0],
+                }
+            )
+
+    qids = sorted(r["query_id"] for r in reset_df.select("query_id").distinct().collect())
+    nq = max(1, len(qids))
+    out = (
+        reset_df.repartitionByRange(nq, "query_id")
+        .mapInPandas(run, "query_id string, id long, value double")
+        .persist()
+    )
+    meta = out.filter(F.col("id") < 0).collect()
+    iters_q = {r["query_id"]: int(r["value"]) for r in meta if r["id"] == -1}
+    delta_q = {r["query_id"]: r["value"] for r in meta if r["id"] == -2}
+    conv_q = {r["query_id"]: r["value"] > 0 for r in meta if r["id"] == -3}
+    ranks = out.filter(F.col("id") >= 0)
+    lineage = [
+        {
+            "run_id": "broadcast",
+            "superstep": max(iters_q.values(), default=1) - 1,
+            "delta": max(delta_q.values(), default=0.0),
+            "converged": all(conv_q.values()) if conv_q else True,
+            "wall_ms": (time.time() - t0) * 1000,
+            "total_iterations": sum(iters_q.values()),
+            "partitions": [
+                {
+                    "query_id": q,
+                    "rows": graph_coo["n"],
+                    "iters": iters_q.get(q),
+                    "delta": delta_q.get(q),
+                    "converged": conv_q.get(q),
+                }
+                for q in qids
+            ],
+        }
+    ]
+    return ranks, lineage
+
+
+# --------------------------------------------------------------------------
+# pure-Catalyst engine (engine="dataframe") — round-1 plan, kept as the
+# optimizer-visible cross-check
+# --------------------------------------------------------------------------
+
+def _ppr_dataframe_single(
+    spark, adj, strength_df, vertex_ids, n, reset_df, damping, tol, max_iter,
+    salt_buckets,
+):
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    reset = _prep_reset(vertex_ids, n, reset_df).localCheckpoint(eager=True)
+    dangling_ids = vertex_ids.join(
+        strength_df.filter(F.col("strength") > 0), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_dangling = dangling_ids.count()
+    # hash-partition the static edge side on the join key and CACHE it: each
+    # superstep's join shuffles only the rank vector, never the edges
+    adj_norm = (
+        adj.join(strength_df, adj.src == strength_df.id)
+        .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm"))
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    ranks = vertex_ids.select("id", F.lit(1.0 / n).alias("value")).persist()
+    dangling_mass = n_dangling / n
+    lineage: list[dict] = []
+    for step in range(max_iter):
+        t0 = time.time()
+        base = (1.0 - damping) + damping * dangling_mass
+        reset_rows = reset.select(
+            F.col("id").alias("dst"), (F.lit(base) * F.col("reset")).alias("c1")
+        ).withColumn("salt", F.lit(-1))
+        contribs = adj_norm.join(ranks, adj_norm.src == ranks.id).select(
+            "dst",
+            (F.lit(damping) * F.col("value") * F.col("w_norm")).alias("c"),
+            F.pmod(F.col("src"), F.lit(salt_buckets)).alias("salt"),
+        )
+        new_ranks = (
+            contribs.groupBy("dst", "salt")
+            .agg(F.sum("c").alias("c1"))
+            .unionByName(reset_rows)
+            .groupBy("dst")
+            .agg(F.sum("c1").alias("value"))
+            .withColumnRenamed("dst", "id")
+            .persist()
+        )
+        joined = (
+            ranks.select("id", F.col("value").alias("old"))
+            .join(new_ranks.select("id", F.col("value").alias("new")), "id", "full_outer")
+            .join(dangling_ids.select("id", F.lit(1).alias("is_dangling")), "id", "left_outer")
+        )
+        mrows = (
+            joined.withColumn("block", F.pmod(F.col("id"), F.lit(salt_buckets)).cast("int"))
+            .groupBy("block")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.col("new"), F.lit(0.0))
+                        - F.coalesce(F.col("old"), F.lit(0.0))
+                    )
+                ).alias("delta"),
+                F.sum(F.coalesce(F.col("new"), F.lit(0.0))).alias("mass"),
+                F.sum(
+                    F.when(
+                        F.col("is_dangling") == 1, F.coalesce(F.col("new"), F.lit(0.0))
+                    ).otherwise(0.0)
+                ).alias("dangling_mass"),
+            )
+            .collect()
+        )
+        delta = float(sum(r["delta"] for r in mrows))
+        dangling_mass = float(sum(r["dangling_mass"] for r in mrows))
+        converged = delta < tol
+        old = ranks
+        ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks.unpersist()
+        old.unpersist()
+        lineage.append(
+            {
+                "run_id": "in-memory",
+                "superstep": step,
+                "delta": delta,
+                "converged": converged,
+                "wall_ms": (time.time() - t0) * 1000,
+                "partitions": [
+                    {"block": r["block"], "rows": r["rows"], "delta": r["delta"], "mass": r["mass"]}
+                    for r in mrows
+                ],
+            }
+        )
+        if converged:
+            break
+    reset.unpersist()
+    dangling_ids.unpersist()
+    adj_norm.unpersist()
+    return ranks, lineage
+
+
+def _ppr_dataframe_batch(
+    spark, adj, strength_df, vertex_ids, n, reset_df, damping, tol, max_iter,
+    check_every,
+):
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj_norm = (
+        adj.join(strength_df, adj.src == strength_df.id)
+        .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm"))
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    reset_rows, qids, uniform_q = _normalize_resets(spark, reset_df)
+    zero_q = spark.createDataFrame([(q,) for q in sorted(uniform_q)], "query_id string")
+    reset = reset_rows.unionByName(
+        zero_q.crossJoin(vertex_ids.select("id")).select(
+            "query_id", "id", F.lit(1.0 / n).alias("reset")
+        )
+    ).localCheckpoint(eager=True)
+    dangling_ids = vertex_ids.join(
+        strength_df.filter(F.col("strength") > 0), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_dangling = dangling_ids.count()
+
+    qdf = spark.createDataFrame([(q,) for q in qids], "query_id string")
+    ranks = qdf.crossJoin(vertex_ids.select("id")).select(
+        "query_id", "id", F.lit(1.0 / n).alias("value")
+    ).persist()
+    dangling_mass = {q: n_dangling / n for q in qids}
+    lineage: list[dict] = []
+    converged = False
+    for step in range(max_iter):
+        t0 = time.time()
         base_df = spark.createDataFrame(
             [(q, (1.0 - damping) + damping * dangling_mass[q]) for q in qids],
             "query_id string, base double",
         )
-        reset_rows = reset.join(F.broadcast(base_df), "query_id").select(
+        reset_rows_step = reset.join(F.broadcast(base_df), "query_id").select(
             "query_id",
             F.col("id").alias("dst"),
             (F.col("base") * F.col("reset")).alias("partial"),
         )
-        if engine == "dataframe":
-            contribs = adj_norm.join(ranks, adj_norm.src == ranks.id).select(
-                "query_id",
-                "dst",
-                (F.lit(damping) * F.col("value") * F.col("w_norm")).alias("partial"),
-            )
-            # (query_id, dst) composite key spreads hub-dst rows; partial
-            # aggregation (map-side combine) handles the rest
-            partials = contribs
-        else:
-            ranks_blocked = ranks.withColumn("block", block_of(F.col("id"), P))
-            partials = (
-                ranks_blocked.groupby("block")
-                .cogroup(csr.groupby("block"))
-                .applyInPandas(lambda l, r: kernel(l, r), "query_id string, dst long, partial double")
-            )
+        contribs = adj_norm.join(ranks, adj_norm.src == ranks.id).select(
+            "query_id",
+            "dst",
+            (F.lit(damping) * F.col("value") * F.col("w_norm")).alias("partial"),
+        )
         new_ranks = (
-            partials.unionByName(reset_rows)
+            contribs.unionByName(reset_rows_step)
             .groupBy("query_id", "dst")
             .agg(F.sum("partial").alias("value"))
             .withColumnRenamed("dst", "id")
             .persist()
         )
-
-        is_check = (step - start_step) % check_every == check_every - 1 or step == max_iter - 1
+        is_check = step % check_every == check_every - 1 or step == max_iter - 1
         if not is_check:
-            # cheap step: materialize only; refresh dangling mass if needed
             if n_dangling > 0:
                 drows = (
                     new_ranks.join(dangling_ids, "id", "left_semi")
@@ -332,78 +689,74 @@ def personalized_pagerank_batch(
             new_ranks.unpersist()
             old.unpersist()
             lineage.append(
-                {"run_id": ckpt.run_id if ckpt else "in-memory", "superstep": step,
-                 "delta": None, "converged": False,
-                 "wall_ms": (time.time() - t0) * 1000, "partitions": []}
+                {"run_id": "in-memory", "superstep": step, "delta": None,
+                 "converged": False, "wall_ms": (time.time() - t0) * 1000,
+                 "partitions": []}
             )
             continue
-
         joined = (
             ranks.select("query_id", "id", F.col("value").alias("old"))
             .join(
                 new_ranks.select("query_id", "id", F.col("value").alias("new")),
-                ["query_id", "id"], "full_outer",
+                ["query_id", "id"],
+                "full_outer",
             )
             .join(dangling_ids.select("id", F.lit(1).alias("is_dangling")), "id", "left_outer")
         )
-        metrics_rows = (
-            joined.withColumn("block", block_of(F.col("id"), P))
+        mrows = (
+            joined.withColumn("block", F.pmod(F.col("id"), F.lit(16)).cast("int"))
             .groupBy("query_id", "block")
             .agg(
                 F.count("*").alias("rows"),
                 F.sum(
-                    F.abs(F.coalesce(F.col("new"), F.lit(0.0)) - F.coalesce(F.col("old"), F.lit(0.0)))
+                    F.abs(
+                        F.coalesce(F.col("new"), F.lit(0.0))
+                        - F.coalesce(F.col("old"), F.lit(0.0))
+                    )
                 ).alias("delta"),
                 F.sum(
-                    F.when(F.col("is_dangling") == 1, F.coalesce(F.col("new"), F.lit(0.0))).otherwise(0.0)
+                    F.when(
+                        F.col("is_dangling") == 1, F.coalesce(F.col("new"), F.lit(0.0))
+                    ).otherwise(0.0)
                 ).alias("dangling_mass"),
             )
             .collect()
         )
-        deltas: dict[str, float] = {q: 0.0 for q in qids}
+        deltas = {q: 0.0 for q in qids}
         dangling_mass = {q: 0.0 for q in qids}
-        for r in metrics_rows:
+        for r in mrows:
             deltas[r["query_id"]] += r["delta"]
             dangling_mass[r["query_id"]] += r["dangling_mass"]
         delta = max(deltas.values()) if deltas else 0.0
-        wall_ms = (time.time() - t0) * 1000
         converged = delta < tol
-
-        meta = SuperstepCheckpoint(
-            run_id=ckpt.run_id if ckpt else "in-memory",
-            superstep=step,
-            delta=delta,
-            converged=converged,
-            wall_ms=wall_ms,
-            partitions=[
-                {"query_id": r["query_id"], "block": r["block"], "rows": r["rows"], "delta": r["delta"]}
-                for r in metrics_rows
-            ],
-            extra={
-                "engine": "csr-batch", "damping": damping, "n_vertices": n,
-                "n_queries": len(qids), "dangling_mass": dangling_mass,
-                "per_query_delta": deltas,
-            },
-        )
         old = ranks
-        if ckpt is not None:
-            ranks = ckpt.write(new_ranks, meta)
-            new_ranks.unpersist()
-        else:
-            ranks = new_ranks.localCheckpoint(eager=True)
-            new_ranks.unpersist()
+        ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks.unpersist()
         old.unpersist()
         lineage.append(
-            {"run_id": meta.run_id, "superstep": step, "delta": delta,
-             "converged": converged, "wall_ms": wall_ms, "partitions": meta.partitions}
+            {
+                "run_id": "in-memory",
+                "superstep": step,
+                "delta": delta,
+                "converged": converged,
+                "wall_ms": (time.time() - t0) * 1000,
+                "partitions": [
+                    {"query_id": r["query_id"], "block": r["block"], "rows": r["rows"], "delta": r["delta"]}
+                    for r in mrows
+                ],
+            }
         )
         if converged:
             break
-
     reset.unpersist()
     dangling_ids.unpersist()
+    adj_norm.unpersist()
     return ranks, lineage
 
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
 
 def personalized_pagerank(
     spark: SparkSession,
@@ -419,165 +772,104 @@ def personalized_pagerank(
     engine: str = "csr",
     checkpoint_dir: str | None = None,
     run_id: str | None = None,
-    csr: DataFrame | None = None,
+    graph: BlockGraph | None = None,
     salt_buckets: int = 16,
+    check_every: int = 1,
 ) -> tuple[DataFrame, list[dict]]:
     """Run PPR to convergence; returns (ranks ``(id, value)``, lineage).
 
     ``checkpoint_dir`` enables per-superstep durability + resume: if a prior
     run under the same ``run_id`` left complete supersteps, iteration
-    continues from the latest one.
+    continues from the latest one (csr engine).
     """
     n = n_vertices if n_vertices is not None else vertex_ids.count()
     if n == 0:
         return spark.createDataFrame([], "id long, value double"), []
-    P = num_blocks or spark.sparkContext.defaultParallelism
+    if engine == "dataframe":
+        return _ppr_dataframe_single(
+            spark, adj, strength_df, vertex_ids, n, reset_df, damping, tol,
+            max_iter, salt_buckets,
+        )
+    if engine == "broadcast" and checkpoint_dir is None:
+        coo = collect_graph_coo(adj, strength_df, vertex_ids)
+        rdf = (
+            reset_df.select(F.lit("_").alias("query_id"), "id", "weight")
+            if reset_df is not None
+            else spark.createDataFrame([("_", 0, 0.0)], "query_id string, id long, weight double")
+        )
+        ranks_q, lineage = _ppr_broadcast_batch(spark, coo, rdf, damping, tol, max_iter)
+        return ranks_q.select("id", "value"), lineage
 
-    # loop-invariant inputs: EAGER localCheckpoint (materialize + truncate
-    # lineage) so per-superstep plans don't re-analyze the caller's lineage
-    reset = _prep_reset(vertex_ids, n, reset_df).localCheckpoint(eager=True)
-    # dangling set: vertices with zero strength (SimpleGraph.kt:158-165);
-    # its rank mass is tracked as a DRIVER scalar, updated inside each
-    # superstep's single metrics action (no extra job per iteration)
-    dangling_ids = vertex_ids.join(
-        strength_df.filter(F.col("strength") > 0), "id", "left_anti"
-    ).localCheckpoint(eager=True)
-    n_dangling = dangling_ids.count()
-
-    if engine == "csr":
-        if csr is None:
-            csr = compile_csr(adj, strength_df, P)
+    bg = graph
+    if bg is None:
+        P = num_blocks or default_num_blocks(adj.count())
+        bg = compile_blocks(adj, strength_df, vertex_ids.select("id"), P)
+    qids = ["_"]
+    if reset_df is not None:
+        rdf = reset_df.select(F.lit("_").alias("query_id"), "id", "weight")
+        reset_rows, seen_q, uniform_q = _normalize_resets(spark, rdf)
+        if "_" not in seen_q:  # empty reset_df → uniform
+            uniform_q = {"_"}
     else:
-        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        # hash-partition the static edge side on the join key and CACHE it:
-        # the InMemoryRelation advertises HashPartitioning(src), so each
-        # superstep's join shuffles only the rank vector (O(V)), never the
-        # edges (O(E)) — same trick as the CSR block cache.
-        adj_norm = (
-            adj.join(strength_df, adj.src == strength_df.id)
-            .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm"))
-            .repartition(shuffle_p, "src")
-            .persist()
-        )
+        reset_rows = spark.createDataFrame([], "query_id string, id long, reset double")
+        uniform_q = {"_"}
+    ranks_packed, lineage = _ppr_blocked(
+        spark, bg, reset_rows, qids, uniform_q, damping, tol, max_iter,
+        checkpoint_dir, run_id, check_every,
+    )
+    ranks = _unpack_ranks(ranks_packed, bg.vstate).select("id", "value")
+    if graph is None:
+        bg.unpersist()
+    return ranks, lineage
 
-    ckpt = None
-    start_step = 0
-    ranks = vertex_ids.select("id", F.lit(1.0 / n).alias("value"))
-    dangling_mass = n_dangling / n  # init ranks are uniform
-    lineage: list[dict] = []
-    if checkpoint_dir is not None:
-        ckpt = CheckpointManager(checkpoint_dir, run_id or uuid.uuid4().hex[:12])
-        latest = ckpt.latest_complete()
-        if latest is not None:
-            ranks, manifest = ckpt.load(spark, latest)
-            lineage = ckpt.lineage()
-            if manifest.get("converged"):
-                return ranks, lineage
-            start_step = latest + 1
-            dangling_mass = manifest["dangling_mass"]
-    ranks = ranks.persist()
 
-    converged = False
-    for step in range(start_step, max_iter):
-        t0 = time.time()
-        # the reset/teleport term rides INTO the aggregation as extra rows
-        # (weight = base·reset) instead of a full-outer join afterwards — a
-        # full outer can never broadcast, so this removes one O(V) shuffle
-        # join per superstep
-        base = (1.0 - damping) + damping * dangling_mass
-        reset_rows = reset.select(F.col("id").alias("dst"), (F.lit(base) * F.col("reset")).alias("partial"))
-        if engine == "csr":
-            ranks_blocked = ranks.withColumn("block", block_of(F.col("id"), P))
-            partials = _spmv_csr(ranks_blocked, csr, damping)
-            new_ranks = (
-                partials.unionByName(reset_rows)
-                .groupBy("dst")
-                .agg(F.sum("partial").alias("value"))
-                .withColumnRenamed("dst", "id")
-                .persist()
-            )
-        else:
-            contribs = adj_norm.join(ranks, adj_norm.src == ranks.id).select(
-                "dst",
-                (F.lit(damping) * F.col("value") * F.col("w_norm")).alias("c"),
-                F.pmod(F.col("src"), F.lit(salt_buckets)).alias("salt"),
-            )
-            # explicit salted two-phase aggregation (hub-dst skew mitigation)
-            new_ranks = (
-                contribs.groupBy("dst", "salt")
-                .agg(F.sum("c").alias("c1"))
-                .unionByName(reset_rows.withColumnRenamed("partial", "c1").withColumn("salt", F.lit(-1)))
-                .groupBy("dst")
-                .agg(F.sum("c1").alias("value"))
-                .withColumnRenamed("dst", "id")
-                .persist()
-            )
+def personalized_pagerank_batch(
+    spark: SparkSession,
+    adj: DataFrame,
+    strength_df: DataFrame,
+    vertex_ids: DataFrame,
+    reset_df: DataFrame,
+    n_vertices: int | None = None,
+    damping: float = 0.5,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_blocks: int | None = None,
+    graph: BlockGraph | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    check_every: int = 1,
+    engine: str = "csr",
+) -> tuple[DataFrame, list[dict]]:
+    """Multi-source PPR: Q queries scored in one run.
 
-        # SINGLE action per superstep: per-block metrics + L1 delta + the
-        # NEXT superstep's dangling mass, in one aggregate
-        joined = (
-            ranks.select("id", F.col("value").alias("old"))
-            .join(new_ranks.select("id", F.col("value").alias("new")), "id", "full_outer")
-            .join(dangling_ids.select("id", F.lit(1).alias("is_dangling")), "id", "left_outer")
+    ``reset_df``: ``(query_id, id, weight)``. Returns ranks
+    ``(query_id, id, value)`` (broadcast engine: nonzero entries only).
+    Each query's math is independent and matches
+    :func:`personalized_pagerank` exactly (the reference loops per query,
+    ``HippoRAG.py:409-426``).
+    """
+    n = n_vertices if n_vertices is not None else vertex_ids.count()
+    if n == 0:
+        return spark.createDataFrame([], "query_id string, id long, value double"), []
+    if engine == "dataframe":
+        return _ppr_dataframe_batch(
+            spark, adj, strength_df, vertex_ids, n, reset_df, damping, tol,
+            max_iter, check_every,
         )
-        metrics_rows = (
-            joined.withColumn("block", block_of(F.col("id"), P))
-            .groupBy("block")
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.abs(F.coalesce(F.col("new"), F.lit(0.0)) - F.coalesce(F.col("old"), F.lit(0.0)))).alias("delta"),
-                F.sum(F.coalesce(F.col("new"), F.lit(0.0))).alias("mass"),
-                F.sum(
-                    F.when(F.col("is_dangling") == 1, F.coalesce(F.col("new"), F.lit(0.0))).otherwise(0.0)
-                ).alias("dangling_mass"),
-            )
-            .collect()
-        )
-        delta = float(sum(r["delta"] for r in metrics_rows))
-        dangling_mass = float(sum(r["dangling_mass"] for r in metrics_rows))
-        wall_ms = (time.time() - t0) * 1000
-        converged = delta < tol
+    if engine == "broadcast" and checkpoint_dir is None:
+        coo = collect_graph_coo(adj, strength_df, vertex_ids)
+        return _ppr_broadcast_batch(spark, coo, reset_df, damping, tol, max_iter)
 
-        meta = SuperstepCheckpoint(
-            run_id=ckpt.run_id if ckpt else "in-memory",
-            superstep=step,
-            delta=delta,
-            converged=converged,
-            wall_ms=wall_ms,
-            partitions=[
-                {"block": r["block"], "rows": r["rows"], "delta": r["delta"], "mass": r["mass"]}
-                for r in metrics_rows
-            ],
-            extra={
-                "engine": engine,
-                "damping": damping,
-                "n_vertices": n,
-                "dangling_mass": dangling_mass,
-            },
-        )
-        old = ranks
-        if ckpt is not None:
-            # parquet write/read truncates lineage AND is the durability point
-            ranks = ckpt.write(new_ranks, meta)
-            new_ranks.unpersist()
-        else:
-            # EAGER lineage truncation every superstep: without it the
-            # logical plan grows by one join+agg layer per iteration and
-            # Catalyst re-analysis goes quadratic (observed: ~100 stages per
-            # superstep once old caches are dropped)
-            ranks = new_ranks.localCheckpoint(eager=True)
-            new_ranks.unpersist()
-        old.unpersist()
-        lineage.append(
-            {
-                "run_id": meta.run_id, "superstep": step, "delta": delta,
-                "converged": converged, "wall_ms": wall_ms,
-                "partitions": meta.partitions,
-            }
-        )
-        if converged:
-            break
-
-    reset.unpersist()
-    dangling_ids.unpersist()
+    bg = graph
+    if bg is None:
+        P = num_blocks or default_num_blocks(adj.count())
+        bg = compile_blocks(adj, strength_df, vertex_ids.select("id"), P)
+    reset_rows, qids, uniform_q = _normalize_resets(spark, reset_df)
+    ranks_packed, lineage = _ppr_blocked(
+        spark, bg, reset_rows, qids, uniform_q, damping, tol, max_iter,
+        checkpoint_dir, run_id, check_every,
+    )
+    ranks = _unpack_ranks(ranks_packed, bg.vstate)
+    if graph is None:
+        bg.unpersist()
     return ranks, lineage

@@ -1,0 +1,244 @@
+"""Packed per-block graph representation for iterative jobs.
+
+Round-1 profiling showed the row-per-vertex superstep spends ~2.5 s of fixed
+cost per iteration (task scheduling + Arrow per-row transfer + 3 shuffle
+stages + 2 actions) on microseconds of math — adding cores made PPR *slower*.
+This module packs everything into block-granular rows so a superstep moves
+O(P + P²) rows of NumPy arrays instead of O(V + E) scalar rows:
+
+- ``vstate``   — one row per block: the block's sorted vertex ids and the
+  local indices of its dangling (zero-strength) vertices.
+- ``subblocks`` — one row per (src_block, dst_block) pair with edges between
+  them, with **precompiled local indices**: ``src_idx[e]`` indexes the src
+  block's id list, ``dst_uniq``/``dst_inv`` give an in-block group-by(dst)
+  (the map-side combine), ``w`` is the strength-normalized weight
+  (``SimpleGraph.kt:158-174`` semantics: w/strength(src)).
+
+A PPR/CC superstep is then exactly one Spark job: cogroup(ranks, subblocks)
+→ per-block SpMV emitting *sparse pre-aggregated* partials keyed by dst
+block (≤ min(E, P·V) values total regardless of skew — the src-block is the
+salt of a two-phase aggregate) → cogroup(partials, runstate) which applies
+reset/teleport, computes the per-block L1 delta + dangling mass + mass
+metrics *in the same pass*, and emits the next packed rank vector.
+
+Both static sides are hash-partitioned on the block key and cached, so each
+superstep shuffles only the O(P) packed rank rows and O(P²) partial rows.
+At 10^12-edge scale P grows with the data (EDGES_PER_BLOCK per block) and
+per-task memory stays bounded by the block size, never the graph size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .csr import block_of
+
+EDGES_PER_BLOCK = 250_000
+
+VSTATE_SCHEMA = "block int, ids array<long>, dang array<int>"
+SUBBLOCK_SCHEMA = (
+    "block int, dblk int, src_idx array<int>, dst_uniq array<int>, "
+    "dst_inv array<int>, w array<double>"
+)
+
+
+def default_num_blocks(n_edges: int) -> int:
+    """Block count is a DATA property (~EDGES_PER_BLOCK adjacency rows per
+    block), independent of cluster size: two cluster sizes must run the
+    same physical plan for scaling comparisons to mean anything. Blocks ≫
+    cores is fine — tasks queue."""
+    return int(max(1, n_edges // EDGES_PER_BLOCK + 1))
+
+
+@dataclass
+class BlockGraph:
+    """Compiled, cached block structure shared by every superstep of every
+    algorithm run on the graph (compile once per GraphState)."""
+
+    num_blocks: int
+    n_vertices: int
+    n_dangling: int
+    vstate: DataFrame  # VSTATE_SCHEMA, partitioned+cached on block
+    subblocks: DataFrame  # SUBBLOCK_SCHEMA, partitioned+cached on block
+
+    def unpersist(self) -> None:
+        self.vstate.unpersist()
+        self.subblocks.unpersist()
+
+
+def compile_blocks(
+    adj: DataFrame,
+    strength_df: DataFrame,
+    vertex_ids: DataFrame,
+    num_blocks: int,
+) -> BlockGraph:
+    """adjacency + strength + vertex ids → cached :class:`BlockGraph`.
+
+    One-time cost: two E-row equi-joins (edge endpoints → block-local
+    indices) and two grouped packing passes. Every superstep afterwards
+    reuses the cached arrays.
+    """
+    spark = adj.sparkSession
+    P = int(num_blocks)
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    v = (
+        vertex_ids.select("id")
+        .join(strength_df, "id", "left_outer")
+        .select("id", F.coalesce("strength", F.lit(0.0)).alias("strength"))
+        .withColumn("block", block_of(F.col("id"), P))
+    )
+
+    def build_vstate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        dang = np.nonzero(pdf["strength"].to_numpy() <= 0.0)[0].astype(np.int32)
+        return pd.DataFrame(
+            {"block": [int(pdf["block"].iloc[0])], "ids": [ids], "dang": [dang]}
+        )
+
+    # eager localCheckpoint, not just persist: a cache is looked up by
+    # logical plan, so every superstep would re-ANALYZE the full upstream
+    # lineage (extraction pipelines have huge expression trees — measured
+    # ~2s/superstep of pure analysis). Checkpointing truncates the plan to
+    # a LogicalRDD while keeping the block hash-partitioning.
+    vstate = (
+        v.groupBy("block")
+        .applyInPandas(build_vstate, VSTATE_SCHEMA)
+        .repartition(sp, "block")
+        .localCheckpoint(eager=True)
+    )
+
+    # id → (block, local index) lookup used to precompile edge indices
+    vmap = vstate.select(
+        "block", F.posexplode("ids").alias("idx", "id")
+    )
+
+    normed = adj.join(strength_df, adj.src == strength_df.id).select(
+        "src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm")
+    )
+    e = (
+        normed.join(
+            vmap.select(
+                F.col("id").alias("src"),
+                F.col("block").alias("sblk"),
+                F.col("idx").alias("sidx"),
+            ),
+            "src",
+        )
+        .join(
+            vmap.select(
+                F.col("id").alias("dst"),
+                F.col("block").alias("dblk"),
+                F.col("idx").alias("didx"),
+            ),
+            "dst",
+        )
+        .select("sblk", "dblk", "sidx", "didx", "w_norm")
+    )
+
+    def build_sub(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic edge order → deterministic float accumulation
+        pdf = pdf.sort_values(["sidx", "didx"], kind="mergesort")
+        didx = pdf["didx"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(didx, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["sblk"].iloc[0])],
+                "dblk": [int(pdf["dblk"].iloc[0])],
+                "src_idx": [pdf["sidx"].to_numpy(dtype=np.int32)],
+                "dst_uniq": [uniq.astype(np.int32)],
+                "dst_inv": [inv.astype(np.int32)],
+                "w": [pdf["w_norm"].to_numpy(dtype=np.float64)],
+            }
+        )
+
+    subblocks = (
+        e.groupBy("sblk", "dblk")
+        .applyInPandas(build_sub, SUBBLOCK_SCHEMA)
+        .repartition(sp, "block")
+        .localCheckpoint(eager=True)
+    )
+
+    n_vertices = 0
+    n_dangling = 0
+    for r in vstate.select(F.size("ids").alias("nv"), F.size("dang").alias("nd")).collect():
+        n_vertices += r["nv"]
+        n_dangling += r["nd"]
+
+    return BlockGraph(
+        num_blocks=P,
+        n_vertices=n_vertices,
+        n_dangling=n_dangling,
+        vstate=vstate,
+        subblocks=subblocks,
+    )
+
+
+RUNSTATE_SCHEMA = (
+    "block int, ids array<long>, dang array<int>, "
+    "qidx array<int>, ridx array<array<int>>, rval array<array<double>>"
+)
+
+
+def build_runstate(
+    bg: BlockGraph,
+    reset_rows: DataFrame | None,
+    qids: list[str],
+    uniform_q: set[str],
+    n: int,
+) -> DataFrame:
+    """Per-block reset state for one PPR run: sparse per-query reset entries
+    resolved to block-local indices, cached for the superstep loop.
+
+    ``reset_rows``: normalized sparse ``(query_id, id, reset)`` (Σ=1 per
+    query). Queries in ``uniform_q`` get the uniform 1/n reset applied as a
+    scalar inside the superstep kernel (no dense array materialized).
+    """
+    spark = bg.vstate.sparkSession
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = bg.num_blocks
+    qpos = {q: i for i, q in enumerate(qids)}
+
+    if reset_rows is None:
+        reset_rows = spark.createDataFrame([], "query_id string, id long, reset double")
+    rb = reset_rows.withColumn("block", block_of(F.col("id"), P))
+
+    def kernel(vst_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(vst_pdf) == 0:
+            return pd.DataFrame(
+                columns=["block", "ids", "dang", "qidx", "ridx", "rval"]
+            )
+        ids = np.asarray(vst_pdf["ids"].iloc[0], dtype=np.int64)
+        qidx, ridx, rval = [], [], []
+        if len(r_pdf):
+            r_pdf = r_pdf.sort_values(["query_id", "id"], kind="mergesort")
+            for q, grp in r_pdf.groupby("query_id", sort=True):
+                rid = grp["id"].to_numpy(dtype=np.int64)
+                pos = np.searchsorted(ids, rid)
+                qidx.append(qpos[q])
+                ridx.append(pos.astype(np.int32))
+                rval.append(grp["reset"].to_numpy(dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "block": [int(vst_pdf["block"].iloc[0])],
+                "ids": [ids],
+                "dang": [np.asarray(vst_pdf["dang"].iloc[0], dtype=np.int32)],
+                "qidx": [np.asarray(qidx, dtype=np.int32)],
+                "ridx": [ridx],
+                "rval": [rval],
+            }
+        )
+
+    return (
+        bg.vstate.groupby("block")
+        .cogroup(rb.groupby("block"))
+        .applyInPandas(kernel, RUNSTATE_SCHEMA)
+        .repartition(sp, "block")
+        .localCheckpoint(eager=True)
+    )

@@ -1,73 +1,19 @@
-"""Per-partition CSR blocks for iterative SpMV.
+"""Stable block assignment shared by every iterative algorithm.
 
-The edge table is grouped into P blocks by ``block = src % P`` (dense ids →
-near-uniform block sizes; stable across runs and cluster sizes). Each block
-is compiled ONCE into a CSR row — ``(block, src_ids, indptr, dst_ids,
-w_norm)`` with ``w_norm = weight / strength(src)`` pre-divided so a PPR
-superstep is a pure multiply-add — then persisted and reused by every
-superstep of every algorithm (SURVEY.md §4.2 item 2).
-
-Row-normalized weights make the SpMV kernel identical to the reference's
-inner loop ``contribution = d * score[u] / outWeight(u); next[dst] +=
-contribution * w`` (``SimpleGraph.kt:158-174``).
+The packed per-block compilation itself lives in :mod:`.blocked`
+(`BlockGraph`); this module keeps the one primitive everything agrees on:
+how a vertex id maps to a block. Hash-mod keeps ranks/labels/components and
+the compiled edge blocks co-partitioned on the same key at any scale, and
+the mapping is a pure function of the id — independent of cluster size, so
+two cluster sizes run identical physical plans (the scaling-comparison
+prerequisite).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-CSR_SCHEMA = (
-    "block int, src_ids array<long>, indptr array<long>, "
-    "dst_ids array<long>, w_norm array<double>"
-)
 
 
 def block_of(col, num_blocks: int):
-    """Stable block id for any id type (long vertex ids or string keys):
-    hash-mod keeps ranks and CSR blocks co-partitioned on the same key."""
+    """Stable block id for any id type (long vertex ids or string keys)."""
     return F.pmod(F.xxhash64(col), F.lit(num_blocks)).cast("int")
-
-
-def compile_csr(adj: DataFrame, strength_df: DataFrame, num_blocks: int) -> DataFrame:
-    """adjacency + strength → one CSR row per block, persisted.
-
-    The build shuffles once (groupBy block); the strength join is a plain
-    equi-join on src that Catalyst can plan as broadcast when the vertex
-    count allows, sort-merge otherwise.
-    """
-    normed = (
-        adj.join(strength_df, adj.src == strength_df.id)
-        .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w_norm"))
-        .withColumn("block", block_of(F.col("src"), num_blocks))
-    )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                columns=["block", "src_ids", "indptr", "dst_ids", "w_norm"]
-            )
-        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
-        src = pdf["src"].to_numpy()
-        uniq, starts = np.unique(src, return_index=True)
-        indptr = np.append(starts, len(src))
-        return pd.DataFrame(
-            {
-                "block": [int(pdf["block"].iloc[0])],
-                "src_ids": [uniq],
-                "indptr": [indptr],
-                "dst_ids": [pdf["dst"].to_numpy()],
-                "w_norm": [pdf["w_norm"].to_numpy()],
-            }
-        )
-
-    spark = adj.sparkSession
-    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    out = normed.groupBy("block").applyInPandas(build, schema=CSR_SCHEMA)
-    # hash-partition on block and CACHE: the cached InMemoryRelation
-    # advertises HashPartitioning(block), so each superstep's cogroup
-    # satisfies its ClusteredDistribution without re-shuffling the edge side
-    # — only the (small) rank vector moves per iteration.
-    return out.repartition(shuffle_p, "block").persist()

@@ -10,7 +10,9 @@ from hipporag_spark.graph.build import adjacency, strength
 from oracles import ppr_reference, random_multigraph
 
 
-@pytest.mark.parametrize("engine,check_every", [("csr", 1), ("dataframe", 3)])
+@pytest.mark.parametrize(
+    "engine,check_every", [("csr", 1), ("dataframe", 3), ("broadcast", 1)]
+)
 def test_batch_matches_single_and_oracle(spark, engine, check_every):
     n, m = 50, 220
     edges = random_multigraph(n, m, seed=19)
