@@ -43,6 +43,8 @@ resumes from the latest complete superstep bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
 import uuid
 
@@ -373,8 +375,54 @@ def _ppr_blocked(
 # broadcast-graph engine (engine="broadcast", batch)
 # --------------------------------------------------------------------------
 
+# worker-side cache of memory-mapped graph arrays, keyed by directory: one
+# np.load(mmap_mode="r") per worker process, all workers sharing the same
+# physical page-cache pages
+_MMAP_CACHE: dict = {}
+
+_COO_ARRAYS = ("src", "w", "inv_strength", "uniq_dst", "rel_seg", "edge_lo", "seg_lo", "dang", "ids")
+
+
+def _resolve_coo(g: dict) -> dict:
+    """Materialize a COO dict in a worker: mmap-backed arrays load lazily
+    and are cached per process."""
+    mdir = g.get("mmap_dir")
+    if not mdir:
+        return g
+    cached = _MMAP_CACHE.get(mdir)
+    if cached is None:
+        cached = dict(g)
+        for name in _COO_ARRAYS:
+            p = f"{mdir}/{name}.npy"
+            cached[name] = np.load(p, mmap_mode="r") if os.path.exists(p) else None
+        _MMAP_CACHE[mdir] = cached
+    return cached
+
+
+def _spill_coo(g: dict, mmap_dir: str) -> dict:
+    """Write the big arrays to ``mmap_dir`` as .npy and return a lightweight
+    dict for broadcasting. Every worker then maps the SAME read-only pages
+    instead of unpickling a private multi-hundred-MB copy each (32 private
+    copies measured as multi-second allocation stalls on first touch; on a
+    multi-executor cluster the same pattern is broadcast-to-disk + mmap per
+    host)."""
+    os.makedirs(mmap_dir, exist_ok=True)
+    out = {k: v for k, v in g.items() if k not in _COO_ARRAYS}  # scalar metadata
+    out["mmap_dir"] = mmap_dir
+    for name in _COO_ARRAYS:
+        arr = g.get(name)
+        if arr is not None:
+            np.save(f"{mmap_dir}/{name}.npy", arr)
+        out[name] = None
+    return out
+
+
 def collect_graph_coo(
-    adj: DataFrame, strength_df: DataFrame, vertex_ids: DataFrame
+    adj: DataFrame,
+    strength_df: DataFrame,
+    vertex_ids: DataFrame,
+    weight_dtype: str = "float64",
+    mmap_dir: str | None = "auto",
 ) -> dict:
     """Arrow-collect the normalized graph into driver-side COO arrays for
     broadcasting. Only valid when the arrays fit in executor memory — the
@@ -387,7 +435,7 @@ def collect_graph_coo(
     dense = n > 0 and vids[0] == 0 and vids[-1] == n - 1
     e_pdf = (
         adj.join(strength_df, adj.src == strength_df.id)
-        .select("src", "dst", (F.col("weight") / F.col("strength")).alias("w"))
+        .select("src", "dst", F.col("weight").cast("double").alias("w"))
         .toPandas()
     )
     src = e_pdf["src"].to_numpy(dtype=np.int64)
@@ -396,37 +444,86 @@ def collect_graph_coo(
     if not dense:
         src = np.searchsorted(vids, src)
         dst = np.searchsorted(vids, dst)
-    order = np.lexsort((dst, src))  # deterministic accumulation
+    # sort by (dst, src): deterministic accumulation AND a sequential write
+    # pattern — the kernel segment-reduces per dst (add.reduceat) so the
+    # only random memory stream left is the r[src] gather
+    order = np.lexsort((src, dst))
     src, dst, w = src[order], dst[order], w[order]
-    pos_ids = (
-        strength_df.filter(F.col("strength") > 0)
-        .select("id")
-        .toPandas()["id"]
-        .to_numpy(dtype=np.int64)
-    )
+    uniq_dst, seg_starts = np.unique(dst, return_index=True)
+    # cache-block the edge stream: chunks cut at segment boundaries so each
+    # dst's edges stay in one chunk; the per-chunk temporary then lives in
+    # L2 and the kernel's DRAM traffic drops to the src/w streams alone
+    # (full-size temporaries measured 3-4× the traffic → the whole socket
+    # saturates and 32 workers run each 15× slower than one)
+    CH = 1 << 18
+    n_edges = len(src)
+    if len(seg_starts) and n_edges > CH:
+        cut = np.searchsorted(seg_starts, np.arange(CH, n_edges, CH))
+        cut = np.unique(cut[cut < len(seg_starts)])
+        edge_lo = np.concatenate([[0], seg_starts[cut], [n_edges]])
+        seg_lo = np.concatenate([[0], cut, [len(seg_starts)]])
+        keep = np.nonzero(np.diff(edge_lo) > 0)[0]  # drop empty chunks
+        edge_lo = np.concatenate([edge_lo[keep], [n_edges]])
+        seg_lo = np.concatenate([seg_lo[keep], [len(seg_starts)]])
+    else:
+        edge_lo = np.array([0, n_edges], dtype=np.int64)
+        seg_lo = np.array([0, len(seg_starts)], dtype=np.int64)
+    # per-segment start relative to its chunk's first edge
+    chunk_of_seg = np.searchsorted(seg_lo[1:], np.arange(len(seg_starts)), side="right")
+    rel_seg = seg_starts - edge_lo[chunk_of_seg]
+    s_pdf = strength_df.filter(F.col("strength") > 0).select("id", "strength").toPandas()
+    pos_ids = s_pdf["id"].to_numpy(dtype=np.int64)
+    pos_str = s_pdf["strength"].to_numpy(dtype=np.float64)
     if not dense:
-        pos_ids = np.searchsorted(vids, np.sort(pos_ids))
+        pos_ids = np.searchsorted(vids, pos_ids)
     mask = np.ones(n, dtype=bool)
     mask[pos_ids] = False
     dang = np.nonzero(mask)[0].astype(np.int64)
+    # strength factored into a V-sized vector: the kernel gathers from
+    # rr = r/strength, so an unweighted/constant-weight graph needs NO
+    # per-edge weight array at all — the dominant DRAM stream drops to the
+    # 4-byte src ids alone
+    inv_strength = np.zeros(n)
+    inv_strength[pos_ids] = 1.0 / pos_str
+    w_const = float(w[0]) if len(w) and np.all(w == w[0]) else None
     idt = np.int32 if n < 2**31 else np.int64
-    return {
+    out = {
         "n": n,
         "src": src.astype(idt),
-        "dst": dst.astype(idt),
-        "w": w,
+        # per-edge weights only when they actually vary; float32 halves the
+        # stream (products still accumulate in float64, within ~1e-7 of the
+        # all-float64 path)
+        "w": None if w_const is not None else (
+            w.astype(np.float32) if weight_dtype == "float32" else w
+        ),
+        "w_const": w_const,
+        "inv_strength": inv_strength,
+        "uniq_dst": uniq_dst.astype(idt),
+        "rel_seg": rel_seg.astype(np.int64),
+        "edge_lo": edge_lo.astype(np.int64),
+        "seg_lo": seg_lo.astype(np.int64),
         "dang": dang,
         "ids": None if dense else vids,
     }
+    if mmap_dir == "auto":
+        mmap_dir = (
+            tempfile.mkdtemp(prefix="hipporag_coo_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+            if len(src) >= 2_000_000
+            else None
+        )
+    if mmap_dir:
+        out = _spill_coo(out, mmap_dir)
+    return out
 
 
 def _ppr_broadcast_batch(
     spark: SparkSession,
-    graph_coo: dict,
+    graph_coo,
     reset_df: DataFrame,
     damping: float,
     tol: float,
     max_iter: int,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Graph broadcast once; queries partitioned; each task runs its
     queries' whole power iterations locally — zero per-superstep shuffle or
@@ -435,18 +532,42 @@ def _ppr_broadcast_batch(
     (exact zeros = unreachable vertices) plus a single-entry lineage whose
     partitions carry per-query iterations/delta/convergence."""
     t0 = time.time()
-    bc = spark.sparkContext.broadcast(graph_coo)
+    # accept a pre-made Broadcast: re-broadcasting a multi-hundred-MB COO
+    # per call costs a driver pickle + a per-worker unpickle every time;
+    # long-lived callers (engine facade, benches) broadcast once
+    from pyspark import Broadcast
+
+    bc = graph_coo if isinstance(graph_coo, Broadcast) else spark.sparkContext.broadcast(graph_coo)
+    n_vertices_bc = bc.value["n"]
     d = float(damping)
 
     def run(batches):
         pdfs = [b for b in batches]
         if not pdfs:
             return
-        g = bc.value
-        n, src, dst, w, dang = g["n"], g["src"], g["dst"], g["w"], g["dang"]
+        g = _resolve_coo(bc.value)
+        n, src, w, dang = g["n"], g["src"], g["w"], g["dang"]
+        w_const, inv_s = g["w_const"], g["inv_strength"]
+        uniq_dst, rel_seg = g["uniq_dst"], g["rel_seg"]
+        edge_lo, seg_lo = g["edge_lo"], g["seg_lo"]
+        n_chunks = len(edge_lo) - 1
+        max_chunk = int(np.diff(edge_lo).max()) if n_chunks else 0
         ids = g["ids"]
         pdf = pd.concat(pdfs, ignore_index=True)
-        for q, grp in pdf.groupby("query_id", sort=True):
+        # preallocated per-task buffer (chunk-sized, L2-resident): fresh
+        # full-size temporaries per iteration both churn the page allocator
+        # and quadruple DRAM traffic
+        ebuf = np.empty(max(1, max_chunk), dtype=np.float64)
+        rrbuf = np.empty(n, dtype=np.float64)
+        # all queries of this task iterate in LOCKSTEP so each edge chunk
+        # (the dominant DRAM stream) is read once per iteration and reused
+        # from cache for every query — per-query traffic shrinks by the
+        # queries-per-task factor; converged queries drop out individually
+        groups = list(pdf.groupby("query_id", sort=True))
+        qlist = [q for q, _ in groups]
+        T = len(qlist)
+        resets, Rs, Ns = [], [], []
+        for _, grp in groups:
             wt = grp["weight"].to_numpy(dtype=np.float64)
             wt = np.where(np.isnan(wt) | (wt < 0), 0.0, wt)
             rid = grp["id"].to_numpy(dtype=np.int64)
@@ -458,45 +579,93 @@ def _ppr_broadcast_batch(
                 np.add.at(reset, rid, wt / tot)
             else:
                 reset[:] = 1.0 / n
-            r = np.full(n, 1.0 / n)
-            conv = False
-            delta = 0.0
-            iters = 0
-            for _ in range(max_iter):
-                dm = r[dang].sum() if len(dang) else 0.0
-                base = (1.0 - d) + d * dm
-                new = d * np.bincount(dst, weights=r[src] * w, minlength=n) + base * reset
-                delta = float(np.abs(new - r).sum())
-                r = new
-                iters += 1
+            resets.append(reset)
+            Rs.append(np.full(n, 1.0 / n))
+            Ns.append(np.empty(n))
+        SEG = np.empty((T, max(1, len(uniq_dst))), dtype=np.float64)
+        iters = [0] * T
+        deltas = [0.0] * T
+        convs = [False] * T
+        active = list(range(T))
+        while active:
+            for t in active:
+                dm = Rs[t][dang].sum() if len(dang) else 0.0
+                np.multiply(resets[t], (1.0 - d) + d * dm, out=Ns[t])
+            if len(src):
+                # gather from rr = r/strength (V-sized, cache-resident);
+                # edges sorted by dst → per-dst segment sums sequential;
+                # the rr[src] gather is the only random memory stream
+                RRs = {}
+                for t in active:
+                    np.multiply(Rs[t], inv_s, out=rrbuf)
+                    RRs[t] = rrbuf.copy() if len(active) > 1 else rrbuf
+                for ci in range(n_chunks):
+                    elo, ehi = edge_lo[ci], edge_lo[ci + 1]
+                    slo, shi = seg_lo[ci], seg_lo[ci + 1]
+                    eb = ebuf[: ehi - elo]
+                    sc = src[elo:ehi]
+                    wc = w[elo:ehi] if w is not None else None
+                    for t in active:
+                        np.take(RRs[t], sc, out=eb)
+                        if wc is not None:
+                            np.multiply(eb, wc, out=eb)
+                        np.add.reduceat(eb, rel_seg[slo:shi], out=SEG[t, slo:shi])
+                scale = d if w is not None else d * w_const
+                for t in active:
+                    seg_t = SEG[t]
+                    seg_t *= scale
+                    Ns[t][uniq_dst] += seg_t
+            still = []
+            for t in active:
+                delta = float(np.abs(Ns[t] - Rs[t]).sum())
+                Rs[t], Ns[t] = Ns[t], Rs[t]
+                iters[t] += 1
+                deltas[t] = delta
                 if delta < tol:
-                    conv = True
-                    break
+                    convs[t] = True
+                elif iters[t] < max_iter:
+                    still.append(t)
+            active = still
+        for t, q in enumerate(qlist):
+            r = Rs[t]
             nz = np.nonzero(r)[0]
             out_ids = ids[nz] if ids is not None else nz
-            yield pd.DataFrame(
-                {"query_id": q, "id": out_ids.astype(np.int64), "value": r[nz]}
-            )
+            # ONE packed row per query (exploded JVM-side by the caller):
+            # emitting V scalar rows would push V python strings per query
+            # through Arrow — measured 10× slower than the iterations
             yield pd.DataFrame(
                 {
-                    "query_id": [q, q, q],
-                    "id": [-1, -2, -3],
-                    "value": [float(iters), delta, 1.0 if conv else 0.0],
+                    "query_id": [q],
+                    "ids": [out_ids.astype(np.int64)],
+                    "vals": [r[nz].copy()],
+                    "iters": [iters[t]],
+                    "delta": [deltas[t]],
+                    "conv": [convs[t]],
                 }
             )
 
     qids = sorted(r["query_id"] for r in reset_df.select("query_id").distinct().collect())
     nq = max(1, len(qids))
+    # partitions < queries packs several queries per task; their lockstep
+    # iteration then shares each edge-chunk read (see kernel)
+    nparts = min(nq, num_partitions) if num_partitions else nq
     out = (
-        reset_df.repartitionByRange(nq, "query_id")
-        .mapInPandas(run, "query_id string, id long, value double")
+        reset_df.repartitionByRange(nparts, "query_id")
+        .mapInPandas(
+            run,
+            "query_id string, ids array<long>, vals array<double>, "
+            "iters int, delta double, conv boolean",
+        )
         .persist()
     )
-    meta = out.filter(F.col("id") < 0).collect()
-    iters_q = {r["query_id"]: int(r["value"]) for r in meta if r["id"] == -1}
-    delta_q = {r["query_id"]: r["value"] for r in meta if r["id"] == -2}
-    conv_q = {r["query_id"]: r["value"] > 0 for r in meta if r["id"] == -3}
-    ranks = out.filter(F.col("id") >= 0)
+    meta = out.select("query_id", "iters", "delta", "conv").collect()
+    iters_q = {r["query_id"]: int(r["iters"]) for r in meta}
+    delta_q = {r["query_id"]: r["delta"] for r in meta}
+    conv_q = {r["query_id"]: bool(r["conv"]) for r in meta}
+    ranks = (
+        out.select("query_id", F.explode(F.arrays_zip("ids", "vals")).alias("z"))
+        .select("query_id", F.col("z.ids").alias("id"), F.col("z.vals").alias("value"))
+    )
     lineage = [
         {
             "run_id": "broadcast",
@@ -508,7 +677,7 @@ def _ppr_broadcast_batch(
             "partitions": [
                 {
                     "query_id": q,
-                    "rows": graph_coo["n"],
+                    "rows": n_vertices_bc,
                     "iters": iters_q.get(q),
                     "delta": delta_q.get(q),
                     "converged": conv_q.get(q),
@@ -839,6 +1008,9 @@ def personalized_pagerank_batch(
     run_id: str | None = None,
     check_every: int = 1,
     engine: str = "csr",
+    num_partitions: int | None = None,
+    weight_dtype: str = "float64",
+    graph_coo=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Multi-source PPR: Q queries scored in one run.
 
@@ -857,8 +1029,12 @@ def personalized_pagerank_batch(
             max_iter, check_every,
         )
     if engine == "broadcast" and checkpoint_dir is None:
-        coo = collect_graph_coo(adj, strength_df, vertex_ids)
-        return _ppr_broadcast_batch(spark, coo, reset_df, damping, tol, max_iter)
+        coo = graph_coo
+        if coo is None:
+            coo = collect_graph_coo(adj, strength_df, vertex_ids, weight_dtype=weight_dtype)
+        return _ppr_broadcast_batch(
+            spark, coo, reset_df, damping, tol, max_iter, num_partitions=num_partitions
+        )
 
     bg = graph
     if bg is None:

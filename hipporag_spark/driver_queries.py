@@ -243,15 +243,19 @@ FROM documents GROUP BY md5(text)
 
 
 def _minhash_sql_expr(num_hashes: int, k: int) -> str:
+    """Mirrors ops.dedup.minhash_signature: hash j = min over shingles of
+    the 8-hex slice j%4 of md5 number j//4 (one md5 per 4 hash fns)."""
     sh = (
         f"CASE WHEN len(string_split(lower(text),' ')) < {k} THEN [lower(text)] "
         f"ELSE list_distinct(list_transform(generate_series(1, len(string_split(lower(text),' ')) - {k - 1}), "
         f"i -> array_to_string(list_slice(string_split(lower(text),' '), i, i + {k - 1}), ' '))) END"
     )
-    mins = ", ".join(
-        f"list_min(list_transform({sh}, s -> md5('{j}:' || s)))" for j in range(num_hashes)
-    )
-    return f"[{mins}]"
+    mins = []
+    for j in range(num_hashes):
+        prefix = "" if j // 4 == 0 else f"{j // 4}:"
+        arg = f"md5('{prefix}' || s)" if prefix else "md5(s)"
+        mins.append(f"list_min(list_transform({sh}, s -> substr({arg}, {(j % 4) * 8 + 1}, 8)))")
+    return f"[{', '.join(mins)}]"
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -343,12 +347,51 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Pigeonhole-banded SimHash near-pairs (Hamming ≤ 3 of 16 bits)."""
+    from .ops.dedup import simhash, simhash_near_pairs
+
+    return simhash_near_pairs(
+        simhash(load(spark, sf_dir, "documents")), max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS word
+  FROM documents
+), wh AS (
+  SELECT doc_id, CAST({_HEX16} AS BIGINT) AS h FROM w
+), votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh, LATERAL unnest(generate_series(0, 15)) AS t(bit)
+  GROUP BY doc_id, bit
+), sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash,
+         CAST(b AS VARCHAR) || '|' || CAST((simhash >> (b * 4)) & 15 AS VARCHAR) AS band
+  FROM sim, LATERAL unnest(generate_series(0, 3)) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
+    """Exact all-pairs verify (explicit opt-in; the scale path feeds a
+    candidates DataFrame from LSH — see ops/dedup.py)."""
     from .ops.dedup import embedding_near_dup
 
-    return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.3).orderBy(
-        "vec_a", "vec_b"
-    )
+    return embedding_near_dup(
+        load(spark, sf_dir, "embeddings"), threshold=0.3, allow_full_cross=True
+    ).orderBy("vec_a", "vec_b")
 
 
 SQL_EMBEDDING_NEAR_DUP = """
@@ -656,6 +699,7 @@ def all_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_bruteforce_topk": q_ann_topk,
         "knn_blocked_cogroup": q_knn_blocked,
@@ -682,6 +726,7 @@ def all_oracles() -> dict:
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,
+        "simhash_near_pairs": SQL_SIMHASH_PAIRS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ann_bruteforce_topk": SQL_ANN_TOPK,
         "knn_blocked_cogroup": SQL_KNN_BLOCKED,

@@ -47,12 +47,51 @@ def shingles(col, k: int = SHINGLE_K):
     )
 
 
-def minhash_signature(col, num_hashes: int = DEFAULT_MINHASHES, k: int = SHINGLE_K):
-    """array<string> of length ``num_hashes``: per seed j, min md5("j:"+s)."""
-    sh = F.array_distinct(shingles(col, k))
+def _md5_cols(sh, num_hashes: int):
+    """One md5 per shingle per 4 hash functions (each md5 yields four
+    independent 8-hex/32-bit slices) — round 1 evaluated ``num_hashes``
+    md5s per shingle and the hash dominated the whole LSH job."""
+    n_md5 = (num_hashes + 3) // 4
+
+    def md5_fn(p):
+        # closure factory: extra default args on the lambda itself would be
+        # counted by PySpark as higher-order-function parameters
+        return lambda s: F.md5(F.concat(F.lit(p), s))
+
+    return [
+        F.transform(sh, md5_fn("" if b == 0 else f"{b}:")).alias(f"_mh{b}")
+        for b in range(n_md5)
+    ]
+
+
+def _minhash_from_md5(num_hashes: int):
+    """Signature entries from the precomputed md5 arrays: hash j = 8-hex
+    slice ``j%4`` of md5 array ``j//4``; min over shingles."""
+    def slice_fn(off):
+        return lambda m: F.substring(m, off, 8)
+
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
+            F.array_min(F.transform(F.col(f"_mh{j // 4}"), slice_fn((j % 4) * 8 + 1)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signature(col, num_hashes: int = DEFAULT_MINHASHES, k: int = SHINGLE_K):
+    """array<string> of length ``num_hashes``: hash j is the min over
+    shingles of an 8-hex (32-bit) slice of md5 — a uniform min-hash family
+    at a quarter of the md5 cost, identical in any engine with md5."""
+    sh = F.array_distinct(shingles(col, k))
+
+    def hash_fn(p, off):
+        return lambda s: F.substring(F.md5(F.concat(F.lit(p), s)), off, 8)
+
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, hash_fn("" if j // 4 == 0 else f"{j // 4}:", (j % 4) * 8 + 1))
+            )
             for j in range(num_hashes)
         ]
     )
@@ -77,8 +116,11 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs ``(doc_a, doc_b)`` sharing ≥1 LSH band."""
     rows_per_band = num_hashes // bands
-    sig = documents.select(
-        "doc_id", minhash_signature(F.col("text"), num_hashes, k).alias("sig")
+    # md5 arrays materialized as columns FIRST so each md5 is evaluated
+    # once, then sliced into 4 hash functions each
+    sh = F.array_distinct(shingles(F.col("text"), k))
+    sig = documents.select("doc_id", *_md5_cols(sh, num_hashes)).select(
+        "doc_id", _minhash_from_md5(num_hashes).alias("sig")
     )
     band_cols = [
         F.concat_ws(
@@ -154,36 +196,79 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance ≤ ``max_hamming`` of 16-bit SimHash.
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, bits: int = 16
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ ``max_hamming`` of ``bits``-bit
+    SimHash — COMPLETE by the pigeonhole principle: the hash is split into
+    ``max_hamming + 1`` bands; two hashes within distance d ≤ max_hamming
+    must agree exactly on at least one band (d differing bits cannot touch
+    d+1 bands), so the union of per-band equi-joins misses nothing. Round
+    1's single top-byte blocking provably dropped pairs whose differing
+    bits fell in the top byte.
 
-    Self-join blocked on the top byte (prefix blocking) to avoid the full
-    cross product; exact hamming via bit_count(xor).
+    Band id + band value are ONE join key (string), so skewed bands feed
+    AQE's skew-join split; exact hamming via bit_count(xor) verifies
+    candidates; distinct() dedupes pairs that share several bands.
     """
-    s = sim.withColumn("blk", F.shiftright(F.col("simhash"), 8))
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "blk")
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "blk")
+    n_bands = max_hamming + 1
+    width = (bits + n_bands - 1) // n_bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            (F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))).cast("string"),
+        )
+        for b in range(n_bands)
+    ]
+    s = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("band")
+    )
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band")
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band")
     return (
-        a.join(b, "blk")
+        a.join(b, "band")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
-def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    candidates: DataFrame | None = None,
+    allow_full_cross: bool = False,
+) -> DataFrame:
     """Embedding-cosine near-dup pairs ``(vec_a, vec_b, cos)``.
 
-    Brute-force within hash blocks would miss cross-block pairs, so this is
-    the exact O(n²) verify — at scale, run it on the LSH/SimHash candidate
-    set instead (compose with the operators above). Unit-norm vectors ⇒
-    cosine = dot.
+    The scale path verifies only ``candidates`` ``(vec_a, vec_b)`` — e.g.
+    the output of :func:`minhash_lsh_pairs`, :func:`simhash_near_pairs` or
+    ``similarity.lsh_topk`` buckets — with two equi-joins. The exact O(n²)
+    self-join exists for small inputs and oracle checks but must be asked
+    for explicitly with ``allow_full_cross=True``: an unguarded cartesian
+    on a 10^12-row table is a plan that never finishes. Unit-norm
+    vectors ⇒ cosine = dot.
     """
     a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    if candidates is not None:
+        pairs = candidates.select("vec_a", "vec_b").join(a, "vec_a").join(b, "vec_b")
+    elif allow_full_cross:
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        raise ValueError(
+            "embedding_near_dup without a candidates DataFrame is an O(n²) "
+            "cross join; pass allow_full_cross=True to opt in explicitly"
+        )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        pairs
         .withColumn(
             "cos",
             F.round(

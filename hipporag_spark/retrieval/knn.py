@@ -54,10 +54,13 @@ def knn(
     blocks = items_b.sparkSession.range(num_blocks).select(F.col("id").cast("int").alias("block"))
     # spread the query side BEFORE replication: a single-file scan is one
     # partition, and the ×num_blocks crossJoin expansion (the serialization-
-    # heavy step) must not run on one core
+    # heavy step) must not run on one core; spread by the CLUSTER width
+    # (capped), not the block count — r1 capped at num_blocks and
+    # under-parallelized the expansion
+    spread = min(max(num_blocks, queries.sparkSession.sparkContext.defaultParallelism), 64)
     queries_r = (
         queries.select(F.col("key").alias("qkey"), F.col("embedding").alias("qemb"))
-        .repartition(min(num_blocks, 64))
+        .repartition(spread)
         .crossJoin(F.broadcast(blocks))
     )
 

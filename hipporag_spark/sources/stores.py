@@ -50,22 +50,30 @@ class EmbeddingStoreIO:
     def save(self, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self.path)
 
+    def _rewrite(self, updated: DataFrame) -> DataFrame:
+        """Two-phase swap: the updated plan still lazily READS self.path, so
+        overwriting in place would be read-while-overwrite (works by luck
+        locally, corrupts or errors on a cluster). Materialize to .tmp,
+        re-read, then overwrite — same protocol as OpenIECache.merge_save;
+        on Iceberg this whole dance is a single MERGE."""
+        tmp = self.path + ".tmp"
+        updated.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        return self.load()
+
     def upsert(self, new_rows: DataFrame) -> DataFrame:
         """Insert only rows whose hash_id is absent (the reference's
         insert_strings: hash → anti-join → encode only missing → append,
         ``embedding_store.py:63-90``). Returns the updated store."""
         existing = self.load()
         missing = new_rows.join(existing.select("hash_id"), "hash_id", "left_anti")
-        updated = existing.unionByName(missing).persist()
-        self.save(updated)
-        return self.load()
+        return self._rewrite(existing.unionByName(missing))
 
     def delete(self, hash_ids: DataFrame) -> DataFrame:
         """Remove by hash_id (left_anti rewrite ≡ MERGE…DELETE on Iceberg;
         ``embedding_store.py:130-144``)."""
-        kept = self.load().join(hash_ids.select("hash_id"), "hash_id", "left_anti").persist()
-        self.save(kept)
-        return self.load()
+        kept = self.load().join(hash_ids.select("hash_id"), "hash_id", "left_anti")
+        return self._rewrite(kept)
 
     def get_rows(self, hash_ids: DataFrame) -> DataFrame:
         """Bulk point lookup = broadcast semi-join (``embedding_store.py:146-178``)."""

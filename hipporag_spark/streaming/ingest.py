@@ -5,9 +5,11 @@ The reference's ``index()`` is batch-incremental (hash-diff vs caches,
 Streaming job: a file source watches a directory of repo_files parquet
 drops, and ``foreachBatch`` applies the SAME batch ingest operators
 (extract → anti-join vs cache → append edges/extraction) per micro-batch —
-the recommended Spark pattern for stateful upsert sinks (foreachBatch gives
-exactly-once per epoch with idempotent writes; our writes are idempotent
-because everything is keyed by content hash).
+the recommended Spark pattern for stateful upsert sinks. foreachBatch is
+at-least-once per epoch, so the sink makes replays idempotent by writing
+each epoch to ``epoch=<id>`` subdirectories with dynamic-partition
+OVERWRITE: a replayed epoch rewrites its own partition instead of
+double-appending (on Iceberg: MERGE keyed by (chunk_id, epoch)).
 
 At scale the sink tables are Iceberg and the anti-joins become MERGE; the
 dataflow is identical.
@@ -44,15 +46,21 @@ class StreamingIndexer:
         except Exception:
             return self.spark.createDataFrame([], schema)
 
+    def _load_epoched(self, path: str, schema: str) -> DataFrame:
+        df = self._load(path, schema + ", epoch long")
+        return df.drop("epoch") if "epoch" in df.columns else df
+
     def extraction(self) -> DataFrame:
-        return self._load(
+        return self._load_epoched(
             self.extraction_path,
             "chunk_id string, passage string, entities array<string>, "
             "triples array<struct<s:string,p:string,o:string>>, repo string, content_sha256 string",
         )
 
     def staged_edges(self) -> DataFrame:
-        return self._load(self.edges_path, "src string, dst string, weight double, etype string")
+        return self._load_epoched(
+            self.edges_path, "src string, dst string, weight double, etype string"
+        )
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         ex = extract(batch_df)
@@ -65,9 +73,22 @@ class StreamingIndexer:
         ).localCheckpoint(eager=True)
         if new_ex.count() == 0:
             return
+        # idempotent per epoch: each write targets ONLY this epoch's
+        # partition (dynamic partitionOverwriteMode) — a replayed epoch
+        # overwrites its own previous output instead of appending twice,
+        # and a crash between the two writes leaves a partial epoch that
+        # the replay simply rewrites
+        # per-writer option, not session conf: foreachBatch runs on a CLONED
+        # session whose conf the outer session can't reach
         staged = fact_edges(new_ex).unionByName(passage_edges(new_ex))
-        staged.write.mode("append").parquet(self.edges_path)
-        new_ex.write.mode("append").parquet(self.extraction_path)
+        for df, path in ((staged, self.edges_path), (new_ex, self.extraction_path)):
+            (
+                df.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(path)
+            )
 
     def start(self, trigger_available_now: bool = True):
         stream = (

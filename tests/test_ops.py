@@ -55,6 +55,30 @@ def test_simhash_near_pairs_hamming(spark):
     assert all(0 <= s < 2**16 for s in sims.values())
 
 
+def test_simhash_near_pairs_pigeonhole_complete(spark):
+    """A hamming-1 pair whose differing bit is in the TOP band must be
+    found (r1's top-byte prefix blocking provably missed these)."""
+    sim = spark.createDataFrame(
+        [(0, 0x0100), (1, 0x8100), (2, 0x0180), (3, 0xFFFF)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sim, max_hamming=3).collect()
+    }
+    # exact hamming pairs ≤ 3 of the 4 hashes
+    import itertools
+
+    vals = {0: 0x0100, 1: 0x8100, 2: 0x0180, 3: 0xFFFF}
+    want = {
+        (a, b): bin(vals[a] ^ vals[b]).count("1")
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1  # top-band difference
+
+
 def test_embedding_near_dup_symmetric_threshold(spark):
     emb = spark.createDataFrame(
         [
@@ -64,8 +88,22 @@ def test_embedding_near_dup_symmetric_threshold(spark):
         ],
         "vec_id long, embedding array<float>",
     )
-    rows = embedding_near_dup(emb, threshold=0.9).collect()
+    rows = embedding_near_dup(emb, threshold=0.9, allow_full_cross=True).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in rows} == {(0, 1)}
+
+
+def test_embedding_near_dup_candidates_path(spark):
+    import pytest as _pt
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cands = spark.createDataFrame([(0, 1), (1, 2)], "vec_a long, vec_b long")
+    rows = embedding_near_dup(emb, threshold=0.9, candidates=cands).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in rows} == {(0, 1)}
+    with _pt.raises(ValueError):
+        embedding_near_dup(emb, threshold=0.9)
 
 
 def test_lsh_topk_is_subset_quality(spark):
