@@ -5,8 +5,9 @@
 centerpiece, damping 0.5, L1 tol 1e-6) to produce ranked vertices.
 
 ``queries`` / ``oracle_sql``: one entry per implemented operator family
-(SURVEY.md §2 + training-data pipeline ops); oracle SQL omitted only for
-the iterative PPR job (NetworkX/NumPy oracles live in tests/).
+(SURVEY.md §2 + training-data pipeline ops); every query has a DuckDB
+oracle — the iterative PPR job's is an unrolled fixed-point power method
+(60 chained CTEs; NetworkX/NumPy oracles additionally live in tests/).
 """
 
 from __future__ import annotations

@@ -25,12 +25,18 @@ from pyspark.sql import functions as F
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Scan + spread: the test tables are single parquet files (= one
-    input partition); repartition so compute-heavy map stages (shingling,
-    hashing, per-row scoring) use the whole cluster. Results are unaffected
-    — every downstream operator is partitioning-agnostic."""
+    """Scan + conditional spread: the test tables are single small parquet
+    files (= one input partition), so compute-heavy map stages (shingling,
+    hashing, per-row scoring) would run on one core. Repartition ONLY when
+    the scan is narrower than the cluster — at scale ``maxPartitionBytes``
+    already splits the input and a blanket repartition would be a full
+    shuffle of every scanned byte. Results are unaffected — every
+    downstream operator is partitioning-agnostic."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    width = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
+    return df
 
 
 # ---------- documents → extraction-shaped DataFrame ----------
@@ -196,10 +202,15 @@ WHERE EXISTS (SELECT 1 FROM oriented o WHERE (o.u = e1.v AND o.v = e2.v)
 
 
 def q_ppr_docs(spark, sf_dir):
-    """PPR over the doc-word bipartite graph (no SQL oracle — iterative;
-    exact oracles live in tests/test_algorithms.py). Top-100 vertices."""
+    """PPR over the doc-word bipartite graph, top-100 vertices.
+
+    tol=1e-12 (vs the production 1e-6): with damping 0.5 the iterate's
+    distance to the fixed point is ≈ the last L1 delta, so 1e-12 puts both
+    this result and the DuckDB oracle's fixed-iteration power method well
+    inside the 8-dp rounding used for the hash compare. Exact NumPy/
+    NetworkX oracles live in tests/test_algorithms.py."""
     from .algo.ppr import personalized_pagerank
-    from .graph.build import adjacency, build_graph, strength
+    from .graph.build import adjacency, strength
 
     docs = load(spark, sf_dir, "documents")
     ex = doc_extraction(docs)
@@ -211,20 +222,101 @@ def q_ppr_docs(spark, sf_dir):
     adj = adjacency(edges).persist()
     st = strength(adj)
     n = verts.count()
-    # deterministic reset: the 3 lowest-id entity vertices
+    # deterministic reset: the 3 lowest-id entity vertices (ids are the
+    # global rank of name ascending, so = 3 smallest entity names)
     ids = [
         r["id"]
         for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(3).collect()
     ]
     reset = spark.createDataFrame([(int(i), 1.0) for i in ids], "id long, weight double")
     ranks, _ = personalized_pagerank(
-        spark, adj, st, verts.select("id"), n_vertices=n, reset_df=reset, num_blocks=8
+        spark, adj, st, verts.select("id"), n_vertices=n, reset_df=reset,
+        num_blocks=8, tol=1e-12,
     )
     return (
         ranks.join(verts.select("id", "name"), "id")
         .select("name", F.round("value", 8).alias("score"))
         .orderBy(F.desc("score"), F.asc("name"))
         .limit(100)
+    )
+
+
+# DuckDB oracle for q_ppr_docs: the same graph built relationally, then the
+# reference power iteration (SimpleGraph.kt:130-182) UNROLLED as K chained
+# CTEs — r' = 0.5·(1+danglingMass)·reset + 0.5·Σ r[u]·w(u,v)/strength(u).
+# K=60 ⇒ residual ≈ 0.5^60 ≈ 1e-18: the fixed point to double precision.
+# MATERIALIZED prevents DuckDB from inlining (= re-scanning the parquet
+# view once per iteration, which overflows the open-file limit).
+_PPR_GRAPH_CTES = """
+verts AS MATERIALIZED (
+  SELECT DISTINCT 'chunk-' || md5(text) AS name FROM documents
+  UNION
+  SELECT DISTINCT 'entity-' || md5(w) AS name
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 3)) AS w
+        FROM documents)
+), trips AS (
+  SELECT DISTINCT doc_id, s, o FROM (
+    SELECT doc_id, l[i] AS s, l[i+1] AS o
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+         LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+  ) WHERE length(s) > 0 AND length(o) > 0 AND s <> o
+), fact_pairs AS (
+  SELECT 'entity-' || md5(s) AS a, 'entity-' || md5(o) AS b FROM trips
+), fe AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight FROM (
+    SELECT a AS src, b AS dst FROM fact_pairs
+    UNION ALL SELECT b AS src, a AS dst FROM fact_pairs
+  ) GROUP BY src, dst
+), pe AS (
+  SELECT 'chunk-' || md5(text) AS src, 'entity-' || md5(w) AS dst, CAST(1.0 AS DOUBLE) AS weight
+  FROM (SELECT text, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> length(x) > 3))) AS w
+        FROM documents)
+), staged AS (
+  SELECT * FROM fe UNION ALL SELECT * FROM pe
+), valid AS (
+  SELECT s.src, s.dst, s.weight FROM staged s
+  JOIN verts v1 ON s.src = v1.name JOIN verts v2 ON s.dst = v2.name
+), adj AS (
+  SELECT src, dst, sum(weight) AS w FROM (
+    SELECT src, dst, weight FROM valid
+    UNION ALL SELECT dst AS src, src AS dst, weight FROM valid
+  ) GROUP BY src, dst
+), strength_t AS MATERIALIZED (
+  SELECT src AS name, sum(w) AS strength FROM adj GROUP BY src
+), adjn AS MATERIALIZED (
+  SELECT a.src, a.dst, a.w / s.strength AS wn FROM adj a JOIN strength_t s ON a.src = s.name
+), nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts
+), sel AS MATERIALIZED (
+  SELECT name FROM verts WHERE name LIKE 'entity-%' ORDER BY name LIMIT 3
+), rst AS MATERIALIZED (
+  SELECT name, 1.0/(SELECT count(*) FROM sel) AS reset FROM sel
+), it0 AS MATERIALIZED (
+  SELECT name, 1.0/(SELECT n FROM nv) AS value FROM verts
+)"""
+
+
+def _ppr_iter_cte(k: int) -> str:
+    p = f"it{k - 1}"
+    return f"""it{k} AS MATERIALIZED (
+  SELECT v.name,
+         0.5 * (1.0 + dm.mass) * coalesce(r.reset, 0.0)
+         + 0.5 * coalesce(c.contrib, 0.0) AS value
+  FROM verts v
+  LEFT JOIN rst r ON r.name = v.name
+  LEFT JOIN (SELECT a.dst AS name, sum(p.value * a.wn) AS contrib
+             FROM {p} p JOIN adjn a ON a.src = p.name GROUP BY a.dst) c
+         ON c.name = v.name
+  CROSS JOIN (SELECT coalesce(sum(p.value), 0.0) AS mass FROM {p} p
+              LEFT JOIN strength_t s ON s.name = p.name WHERE s.name IS NULL) dm
+)"""
+
+
+def _ppr_docs_sql(iterations: int = 60) -> str:
+    ctes = [_PPR_GRAPH_CTES] + [_ppr_iter_cte(k) for k in range(1, iterations + 1)]
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\nSELECT name, round(value, 8) AS score FROM it{iterations} "
+        "ORDER BY score DESC, name ASC LIMIT 100"
     )
 
 
@@ -721,7 +813,7 @@ def all_oracles() -> dict:
         "fact_edges": SQL_FACT_EDGES,
         "connected_components_star": SQL_CC_STAR,
         "triangle_count_words": SQL_TRIANGLES_WORDS,
-        # ppr_docs: iterative — rows-only check; NetworkX oracle in tests/
+        "ppr_docs": _ppr_docs_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

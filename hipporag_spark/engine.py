@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .extract import extract
 from .graph.build import adjacency, fact_edges, passage_edges, resolve_edges, strength, vertices
+from .graph.ids import assign_dense_ids
 from .keys import CHUNK_PREFIX, ENTITY_PREFIX, chunk_key
 from .retrieval.embeddings import embedding_store
 from .retrieval.knn import synonymy_edges
@@ -62,8 +63,23 @@ class GraphState:
     entity_store: DataFrame
     fact_store: DataFrame
     chunk_counts: DataFrame
+    fact_counts: DataFrame  # (hash_id, n_chunks) — the fact→chunk refcount
     n_vertices: int
     n_edges: int
+
+    def tables(self) -> list[DataFrame]:
+        return [
+            self.extraction, self.verts, self.edges, self.adj, self.strength,
+            self.chunk_store, self.entity_store, self.fact_store,
+            self.chunk_counts, self.fact_counts,
+        ]
+
+    def unpersist(self) -> None:
+        for t in self.tables():
+            try:
+                t.unpersist()
+            except Exception:
+                pass
 
 
 class LinkGraphEngine:
@@ -96,50 +112,132 @@ class LinkGraphEngine:
 
     def index(self, repo_files: DataFrame) -> GraphState:
         """Build or extend the graph from a ``(repo, path, commit, lang,
-        content, content_sha256)`` table."""
-        new_ex = extract(repo_files)
-        if self.state is not None:
-            # hash-diff incremental ingest: only chunks not yet indexed
-            new_ex = new_ex.join(
-                self.state.extraction.select("chunk_id"), "chunk_id", "left_anti"
-            )
-            extraction = self.state.extraction.unionByName(new_ex)
-        else:
-            extraction = new_ex
-        return self._build_state(extraction.dropDuplicates(["chunk_id"]))
+        content, content_sha256)`` table.
+
+        The incremental path is DELTA-ONLY (``HippoRAG.py:238-246`` hash-diff
+        + ``:1022-1086`` append semantics): only new chunks are extracted and
+        exploded; new vertices get ids appended past the existing id space
+        (append-only minting); the new edges/strengths/refcounts are merged
+        into the existing aggregated tables by keyed sums. No O(corpus)
+        re-extraction, re-explode, or id re-mint happens — the only
+        full-table inputs are the already-aggregated graph tables themselves
+        (at production scale those unions are partition-aligned merges on
+        bucketed Iceberg tables).
+        """
+        new_ex = extract(repo_files).dropDuplicates(["chunk_id"])
+        if self.state is None:
+            return self._build_state(new_ex)
+        # hash-diff incremental ingest: only chunks not yet indexed
+        new_ex = new_ex.join(
+            self.state.extraction.select("chunk_id"), "chunk_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_new = new_ex.count()
+        self.last_index_stats = {"new_chunks": n_new}
+        if n_new == 0:
+            return self.state
+        if self.enable_synonymy:
+            # synonymy KNN is global (top-k over ALL entities): merging a
+            # delta would diverge from rebuild semantics — rebuild instead
+            return self._build_state(self.state.extraction.unionByName(new_ex))
+        return self._merge_state(new_ex)
 
     def delete(self, contents: list[str]) -> GraphState:
         """Ref-counted cascade delete of chunks by content
-        (``HippoRAG.py:280-361``): surviving extraction drives a rebuild, so
-        entities/facts referenced only by deleted chunks disappear exactly
-        like the reference's refcount logic."""
+        (``HippoRAG.py:280-361``), delta-only: the doomed chunks' edge /
+        refcount contributions are SUBTRACTED from the aggregated tables;
+        entities and facts whose refcount reaches zero drop out — exactly
+        the reference's cascade, as keyed merges over delta-sized inputs."""
         assert self.state is not None
-        doomed = self.spark.createDataFrame([(c,) for c in contents], "content string").select(
-            chunk_key("content").alias("chunk_id")
+        s = self.state
+        doomed_keys = self.spark.createDataFrame(
+            [(c,) for c in contents], "content string"
+        ).select(chunk_key("content").alias("chunk_id")).distinct()
+        doomed_ex = s.extraction.join(
+            F.broadcast(doomed_keys), "chunk_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        if doomed_ex.count() == 0:
+            return s
+        if self.enable_synonymy:
+            surviving = s.extraction.join(doomed_keys, "chunk_id", "left_anti")
+            return self._build_state(surviving)
+        return self._subtract_state(doomed_ex)
+
+    # ----- shared delta builders (used by full, merge and subtract paths) -----
+
+    @staticmethod
+    def _fact_text_df(ex: DataFrame) -> DataFrame:
+        return (
+            ex.select(F.explode("triples").alias("t"))
+            .select(
+                F.to_json(F.struct(F.col("t.s"), F.col("t.p"), F.col("t.o"))).alias(
+                    "fact_text"
+                )
+            )
+            .dropDuplicates(["fact_text"])
         )
-        surviving = self.state.extraction.join(doomed, "chunk_id", "left_anti")
-        return self._build_state(surviving)
+
+    @staticmethod
+    def _fact_counts(ex: DataFrame) -> DataFrame:
+        """(hash_id, n_chunks): fact → #chunks refcount
+        (``proc_triples_to_docs``, ``HippoRAG.py:1212-1219``)."""
+        return (
+            ex.select("chunk_id", F.explode("triples").alias("t"))
+            .select(
+                "chunk_id",
+                F.to_json(F.struct(F.col("t.s"), F.col("t.p"), F.col("t.o"))).alias(
+                    "fact_text"
+                ),
+            )
+            .groupBy("fact_text")
+            .agg(F.countDistinct("chunk_id").alias("n_chunks"))
+            .select(
+                F.concat(F.lit("fact-"), F.md5("fact_text")).alias("hash_id"), "n_chunks"
+            )
+        )
+
+    @staticmethod
+    def _chunk_count_delta(ex: DataFrame) -> DataFrame:
+        from .keys import entity_key
+
+        return (
+            ex.select("chunk_id", F.explode("entities").alias("phrase"))
+            .select("chunk_id", entity_key("phrase").alias("entity_name"))
+            .groupBy("entity_name")
+            .agg(F.countDistinct("chunk_id").alias("num_chunks"))
+        )
+
+    def _swap_state(self, **tables) -> GraphState:
+        """Install a new GraphState: count, invalidate the compiled block
+        graph, release the previous state's cached tables."""
+        old = self.state
+        new = GraphState(
+            n_vertices=tables["verts"].count(),
+            n_edges=tables["adj"].count(),
+            **tables,
+        )
+        if self._block_graph is not None:  # new graph → stale blocks
+            self._block_graph.unpersist()
+            self._block_graph = None
+        if old is not None:
+            old.unpersist()
+        self.state = new
+        return new
 
     def _build_state(self, extraction: DataFrame) -> GraphState:
-        # eager truncation: incremental index/delete chain extraction
-        # through unions/anti-joins — without this each rebuild re-analyzes
-        # the whole chain in every downstream action
+        """Full build from an extraction table (initial index, or the
+        synonymy-enabled rebuild path)."""
+        # eager truncation: rebuilds chain extraction through unions /
+        # anti-joins — without this each rebuild re-analyzes the whole
+        # chain in every downstream action
         extraction = extraction.localCheckpoint(eager=True)
         ents = extraction.select(F.explode("entities").alias("content")).distinct()
         entity_store = embedding_store(ents, "content", ENTITY_PREFIX).persist()
         chunk_store = embedding_store(
             extraction.select("passage"), "passage", CHUNK_PREFIX
         ).persist()
-        facts = (
-            extraction.select(F.explode("triples").alias("t"))
-            .select(
-                F.to_json(F.struct(F.col("t.s"), F.col("t.p"), F.col("t.o"))).alias("fact_text"),
-                F.col("t.s").alias("subj"),
-                F.col("t.o").alias("obj"),
-            )
-            .dropDuplicates(["fact_text"])
-        )
-        fact_store = embedding_store(facts.select("fact_text"), "fact_text", "fact-").persist()
+        fact_store = embedding_store(
+            self._fact_text_df(extraction), "fact_text", "fact-"
+        ).persist()
 
         staged = fact_edges(extraction).unionByName(passage_edges(extraction))
         if self.enable_synonymy:
@@ -153,19 +251,9 @@ class LinkGraphEngine:
 
         # entity → #chunks inverted index (only the cardinality is used:
         # HippoRAG.py:1463-1464 / SURVEY.md §1.3)
-        from .keys import entity_key
-
-        chunk_counts = (
-            extraction.select("chunk_id", F.explode("entities").alias("phrase"))
-            .select("chunk_id", entity_key("phrase").alias("entity_name"))
-            .groupBy("entity_name")
-            .agg(F.countDistinct("chunk_id").alias("num_chunks"))
-            .persist()
-        )
-        if self._block_graph is not None:  # new graph → stale blocks
-            self._block_graph.unpersist()
-            self._block_graph = None
-        self.state = GraphState(
+        chunk_counts = self._chunk_count_delta(extraction).persist()
+        fact_counts = self._fact_counts(extraction).persist()
+        return self._swap_state(
             extraction=extraction,
             verts=verts,
             edges=edges,
@@ -175,10 +263,198 @@ class LinkGraphEngine:
             entity_store=entity_store,
             fact_store=fact_store,
             chunk_counts=chunk_counts,
-            n_vertices=verts.count(),
-            n_edges=adj.count(),
+            fact_counts=fact_counts,
         )
-        return self.state
+
+    def _merge_state(self, new_ex: DataFrame) -> GraphState:
+        """Incremental index: merge ONLY the new chunks' contributions.
+
+        Every exploded/derived input below is delta-sized; the existing
+        aggregated tables enter exactly once each, as one side of a keyed
+        sum/append (``HippoRAG.py:1022-1086`` add_new_nodes/add_new_edges).
+        ``localCheckpoint(eager=True)`` truncates lineage so repeated
+        increments keep O(1) plans.
+        """
+        from .keys import entity_key
+
+        s = self.state
+        ck = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        extraction = ck(s.extraction.unionByName(new_ex))
+
+        # stores: append rows not already present (anti-join by hash key —
+        # embedding_store.py:63-90 upsert semantics)
+        new_ents = new_ex.select(F.explode("entities").alias("content")).distinct()
+        ent_delta = embedding_store(new_ents, "content", ENTITY_PREFIX).join(
+            s.entity_store.select("hash_id"), "hash_id", "left_anti"
+        )
+        entity_store = ck(s.entity_store.unionByName(ent_delta))
+        # new chunks are new by construction (anti-joined on chunk_id)
+        chunk_store = ck(
+            s.chunk_store.unionByName(
+                embedding_store(new_ex.select("passage"), "passage", CHUNK_PREFIX)
+            )
+        )
+        fact_delta = embedding_store(
+            self._fact_text_df(new_ex), "fact_text", "fact-"
+        ).join(s.fact_store.select("hash_id"), "hash_id", "left_anti")
+        fact_store = ck(s.fact_store.unionByName(fact_delta))
+
+        # vertices: unseen names minted APPEND-ONLY past the current id max
+        ents_v = new_ents.select(
+            entity_key("content").alias("name"),
+            F.lit("entity").alias("ntype"),
+            "content",
+        )
+        chunks_v = new_ex.select(
+            F.col("chunk_id").alias("name"),
+            F.lit("passage").alias("ntype"),
+            F.col("passage").alias("content"),
+        )
+        new_names = (
+            ents_v.unionByName(chunks_v)
+            .dropDuplicates(["name"])
+            .join(s.verts.select("name"), "name", "left_anti")
+        )
+        new_verts = assign_dense_ids(new_names, "name", start=s.n_vertices)
+        verts = ck(s.verts.unionByName(new_verts))
+
+        # edge/strength/refcount deltas, merged by keyed sums
+        staged = fact_edges(new_ex).unionByName(passage_edges(new_ex))
+        resolved = resolve_edges(staged, verts)
+        edges = ck(
+            s.edges.unionByName(resolved)
+            .groupBy("src", "dst", "etype")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        adj_delta = adjacency(resolved)
+        adj = ck(
+            s.adj.unionByName(adj_delta)
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        st = ck(
+            s.strength.unionByName(strength(adj_delta))
+            .groupBy("id")
+            .agg(F.sum("strength").alias("strength"))
+        )
+        chunk_counts = ck(
+            s.chunk_counts.unionByName(self._chunk_count_delta(new_ex))
+            .groupBy("entity_name")
+            .agg(F.sum("num_chunks").alias("num_chunks"))
+        )
+        fact_counts = ck(
+            s.fact_counts.unionByName(self._fact_counts(new_ex))
+            .groupBy("hash_id")
+            .agg(F.sum("n_chunks").alias("n_chunks"))
+        )
+        return self._swap_state(
+            extraction=extraction,
+            verts=verts,
+            edges=edges,
+            adj=adj,
+            strength=st,
+            chunk_store=chunk_store,
+            entity_store=entity_store,
+            fact_store=fact_store,
+            chunk_counts=chunk_counts,
+            fact_counts=fact_counts,
+        )
+
+    def _subtract_state(self, doomed_ex: DataFrame) -> GraphState:
+        """Incremental delete: subtract the doomed chunks' contributions.
+
+        All weights are integer-valued sums of +1.0 contributions (fact
+        co-occurrence counts / passage-edge units), so subtraction is exact
+        and "refcount reached zero" is an exact ``weight > 0`` filter.
+        Entities/facts cascade out via their chunk refcounts
+        (``HippoRAG.py:280-361``).
+        """
+        s = self.state
+        ck = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        doomed_ids = doomed_ex.select("chunk_id")
+        extraction = ck(s.extraction.join(doomed_ids, "chunk_id", "left_anti"))
+
+        # refcounts first — they decide which entities/facts survive
+        neg_cc = self._chunk_count_delta(doomed_ex).withColumn(
+            "num_chunks", -F.col("num_chunks")
+        )
+        chunk_counts = ck(
+            s.chunk_counts.unionByName(neg_cc)
+            .groupBy("entity_name")
+            .agg(F.sum("num_chunks").alias("num_chunks"))
+            .filter(F.col("num_chunks") > 0)
+        )
+        neg_fc = self._fact_counts(doomed_ex).withColumn("n_chunks", -F.col("n_chunks"))
+        fact_counts = ck(
+            s.fact_counts.unionByName(neg_fc)
+            .groupBy("hash_id")
+            .agg(F.sum("n_chunks").alias("n_chunks"))
+            .filter(F.col("n_chunks") > 0)
+        )
+
+        # stores: chunks drop by id; entities/facts drop when unreferenced
+        chunk_store = ck(
+            s.chunk_store.join(
+                doomed_ids.select(F.col("chunk_id").alias("hash_id")), "hash_id", "left_anti"
+            )
+        )
+        entity_store = ck(
+            s.entity_store.join(
+                chunk_counts.select(F.col("entity_name").alias("hash_id")),
+                "hash_id",
+                "left_semi",
+            )
+        )
+        fact_store = ck(
+            s.fact_store.join(fact_counts.select("hash_id"), "hash_id", "left_semi")
+        )
+
+        # vertices: doomed passages out; entities survive iff refcount > 0
+        # (ids are stable — survivors keep theirs; the id space gains holes,
+        # which every engine tolerates: ranks/CSR key by id value, not rank)
+        verts_pass = s.verts.filter(F.col("ntype") == "passage").join(
+            doomed_ids.select(F.col("chunk_id").alias("name")), "name", "left_anti"
+        )
+        verts_ent = s.verts.filter(F.col("ntype") == "entity").join(
+            chunk_counts.select(F.col("entity_name").alias("name")), "name", "left_semi"
+        )
+        verts = ck(verts_pass.unionByName(verts_ent))
+
+        # subtract the doomed edge contributions (delta-sized)
+        staged = fact_edges(doomed_ex).unionByName(passage_edges(doomed_ex))
+        resolved = resolve_edges(staged, s.verts)
+        edges = ck(
+            s.edges.unionByName(resolved.withColumn("weight", -F.col("weight")))
+            .groupBy("src", "dst", "etype")
+            .agg(F.sum("weight").alias("weight"))
+            .filter(F.col("weight") > 0)
+        )
+        adj_delta = adjacency(resolved)
+        adj = ck(
+            s.adj.unionByName(adj_delta.withColumn("weight", -F.col("weight")))
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .filter(F.col("weight") > 0)
+        )
+        neg_st = strength(adj_delta).withColumn("strength", -F.col("strength"))
+        st = ck(
+            s.strength.unionByName(neg_st)
+            .groupBy("id")
+            .agg(F.sum("strength").alias("strength"))
+            .filter(F.col("strength") > 0)
+        )
+        return self._swap_state(
+            extraction=extraction,
+            verts=verts,
+            edges=edges,
+            adj=adj,
+            strength=st,
+            chunk_store=chunk_store,
+            entity_store=entity_store,
+            fact_store=fact_store,
+            chunk_counts=chunk_counts,
+            fact_counts=fact_counts,
+        )
 
     # ---------------- retrieve ----------------
 
@@ -202,6 +478,46 @@ class LinkGraphEngine:
             "obj_key",
         )
 
+    def _query_embeddings(
+        self, queries: list[str], instruction: str | None = None
+    ) -> list[tuple[str, list[float]]]:
+        from .retrieval.embeddings import embed_text
+
+        return [(q, embed_text(q, instruction=instruction).tolist()) for q in queries]
+
+    def dpr_retrieve(
+        self,
+        queries: list[str],
+        retrieval_top_k: int = RETRIEVAL_TOP_K,
+        dpr_scores: DataFrame | None = None,
+        query_ids: set[str] | None = None,
+    ) -> DataFrame:
+        """Pure DPR ranking → ``(query_id, chunk_id, score, rank)``.
+
+        The StandardRAG baseline (``StandardRAG.py:37-429``) and the
+        zero-fact fallback of :meth:`retrieve` (``HippoRAG.py:417-419``).
+        ``dpr_scores`` / ``query_ids`` let retrieve() reuse its already-
+        scored chunk table for just the factless queries.
+        """
+        from pyspark.sql import Window
+
+        from .retrieval.embeddings import QUERY_TO_PASSAGE
+
+        s = self.state
+        assert s is not None, "index() first"
+        if dpr_scores is None:
+            dpr_scores = score_store(
+                s.chunk_store, self._query_embeddings(queries, QUERY_TO_PASSAGE)
+            )
+        if query_ids is not None:
+            dpr_scores = dpr_scores.filter(F.col("query_id").isin(list(query_ids)))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("hash_id"))
+        return (
+            dpr_scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= retrieval_top_k)
+            .select("query_id", F.col("hash_id").alias("chunk_id"), "score", "rank")
+        )
+
     def retrieve(
         self,
         queries: list[str],
@@ -210,50 +526,132 @@ class LinkGraphEngine:
         damping: float = 0.5,
         checkpoint_dir: str | None = None,
         engine: str = "auto",
+        rerank_filter=None,
     ) -> DataFrame:
         """Multi-query PPR retrieval → ``(query_id, chunk_id, score, rank)``.
 
         Queries are embedded driver-side (same deterministic encoder as the
-        stores), scored against fact + passage stores in one batched pass,
-        then PPR runs batched: the broadcast-graph engine when the graph
-        fits executor memory (the HippoRAG retrieval regime), else the
-        packed block engine over the BlockGraph compiled once per
-        GraphState (never per retrieve).
+        stores), scored against fact + passage stores in one batched pass;
+        the top facts pass through the pluggable recognition-memory rerank
+        (``HippoRAG.py:1522-1570``); queries left with ZERO facts fall back
+        to pure DPR ranking exactly like the reference
+        (``HippoRAG.py:417-419``). Fact-bearing queries run batched PPR:
+        the broadcast-graph engine when the graph fits executor memory (the
+        HippoRAG retrieval regime), else the packed block engine over the
+        BlockGraph compiled once per GraphState (never per retrieve).
         """
         from .algo.ppr import personalized_pagerank_batch
-        from .retrieval.embeddings import embed_text
+        from .retrieval.rerank import rerank_facts
+
+        from .retrieval.embeddings import QUERY_TO_FACT, QUERY_TO_PASSAGE
 
         s = self.state
         assert s is not None, "index() first"
-        qembs = [(q, embed_text(q).tolist()) for q in queries]
-
-        fact_scores = score_store(s.fact_store, qembs)
-        tf = top_facts(fact_scores, link_top_k)
-        pw = phrase_weights(tf, self.fact_table(), s.chunk_counts, link_top_k)
-        dpr = score_store(s.chunk_store, qembs)
-        resets = build_reset(pw, passage_weights(dpr), s.verts).persist()
-
-        if engine == "auto":
-            # graph COO fits comfortably in executor/driver memory → the
-            # query-partitioned broadcast engine; beyond that, packed blocks
-            engine = (
-                "broadcast"
-                if s.n_edges <= BROADCAST_EDGE_LIMIT and checkpoint_dir is None
-                else "csr"
-            )
-        ranks, _ = personalized_pagerank_batch(
-            self.spark,
-            s.adj,
-            s.strength,
-            s.verts.select("id"),
-            reset_df=resets,
-            n_vertices=s.n_vertices,
-            damping=damping,
-            graph=self.block_graph() if engine == "csr" else None,
-            checkpoint_dir=checkpoint_dir,
-            run_id=None,
-            engine=engine,
+        # dual query embeddings: fact scoring and DPR use DIFFERENT task
+        # instructions (HippoRAG.py:1254-1288, prompts/linking.py:1-10)
+        fact_scores = score_store(
+            s.fact_store, self._query_embeddings(queries, QUERY_TO_FACT)
         )
-        out = rank_docs(ranks, s.verts, retrieval_top_k)
-        resets.unpersist()
+        tf = top_facts(fact_scores, link_top_k)
+        if rerank_filter is not None:
+            tf = rerank_facts(tf, rerank_filter)
+        dpr = score_store(
+            s.chunk_store, self._query_embeddings(queries, QUERY_TO_PASSAGE)
+        ).persist()
+        # ≤ Q rows: which queries still have facts after rerank
+        with_facts = {r["query_id"] for r in tf.select("query_id").distinct().collect()}
+        factless = {q for q in queries if q not in with_facts}
+
+        graph_out = None
+        if with_facts:
+            pw = phrase_weights(tf, self.fact_table(), s.chunk_counts, link_top_k)
+            resets = build_reset(pw, passage_weights(dpr), s.verts)
+            if factless:
+                resets = resets.filter(~F.col("query_id").isin(list(factless)))
+            resets = resets.persist()
+            if engine == "auto":
+                # graph COO fits comfortably in executor/driver memory → the
+                # query-partitioned broadcast engine; beyond that, packed blocks
+                engine = (
+                    "broadcast"
+                    if s.n_edges <= BROADCAST_EDGE_LIMIT and checkpoint_dir is None
+                    else "csr"
+                )
+            ranks, _ = personalized_pagerank_batch(
+                self.spark,
+                s.adj,
+                s.strength,
+                s.verts.select("id"),
+                reset_df=resets,
+                n_vertices=s.n_vertices,
+                damping=damping,
+                graph=self.block_graph() if engine == "csr" else None,
+                checkpoint_dir=checkpoint_dir,
+                run_id=None,
+                engine=engine,
+            )
+            graph_out = rank_docs(ranks, s.verts, retrieval_top_k)
+            resets.unpersist()
+        if factless:
+            dpr_out = self.dpr_retrieve(
+                queries, retrieval_top_k, dpr_scores=dpr, query_ids=factless
+            )
+            out = graph_out.unionByName(dpr_out) if graph_out is not None else dpr_out
+        else:
+            out = graph_out
+        dpr.unpersist()
         return out
+
+    # ---------------- rag_qa ----------------
+
+    def rag_qa(
+        self,
+        questions: list[str],
+        llm=None,
+        qa_top_k: int | None = None,
+        retrieval_top_k: int = RETRIEVAL_TOP_K,
+        gold_answers: list[list[str]] | None = None,
+        retriever: str = "graph",
+        rerank_filter=None,
+    ) -> DataFrame:
+        """End-to-end retrieve → read → (optional) evaluate, mirroring
+        ``HippoRAG.py:451-523``. ``retriever="dpr"`` is the StandardRAG
+        baseline (``StandardRAG.py:37-429``) — same QA stage, pure-DPR
+        ranking.
+
+        Returns ``(query_id, answer[, em, f1])`` — one row per question;
+        with ``gold_answers`` the EM / token-F1 columns are per-query scores
+        (``qa_eval.py:19-95``).
+        """
+        from .ops.evaluation import exact_match, token_f1
+        from .retrieval.qa import QA_TOP_K, assemble_prompts, qa_read
+
+        s = self.state
+        assert s is not None, "index() first"
+        k = qa_top_k or QA_TOP_K
+        if retriever == "dpr":
+            retrieved = self.dpr_retrieve(questions, retrieval_top_k)
+        else:
+            retrieved = self.retrieve(
+                questions, retrieval_top_k=retrieval_top_k, rerank_filter=rerank_filter
+            )
+        passages = s.chunk_store.select(
+            F.col("hash_id").alias("chunk_id"), F.col("content").alias("passage")
+        )
+        qdf = self.spark.createDataFrame(
+            [(q, q) for q in questions], "query_id string, question string"
+        )
+        prompts = assemble_prompts(retrieved, passages, qdf, qa_top_k=k)
+        answers = qa_read(prompts, llm)
+        if gold_answers is None:
+            return answers
+        gold = self.spark.createDataFrame(
+            list(zip(questions, gold_answers)),
+            "query_id string, gold_answers array<string>",
+        )
+        joined = answers.join(gold, "query_id")
+        return (
+            answers.join(exact_match(joined), "query_id")
+            .join(token_f1(joined), "query_id")
+            .select("query_id", "answer", "em", "f1")
+        )

@@ -28,11 +28,23 @@ from pyspark.sql.types import ArrayType, FloatType
 DIM = 64
 
 
-def embed_text(text: str, dim: int = DIM) -> np.ndarray:
-    seed = int.from_bytes(hashlib.md5(text.encode()).digest()[:8], "big")
+def embed_text(text: str, dim: int = DIM, instruction: str | None = None) -> np.ndarray:
+    """``instruction`` is the dual-embedding seam: the reference encodes
+    each query TWICE with different task instructions — ``query_to_fact``
+    for fact scoring and ``query_to_passage`` for DPR
+    (``HippoRAG.py:1254-1288``, ``prompts/linking.py:1-10``). A real encoder
+    prepends the instruction; the deterministic stand-in folds it into the
+    seed so the two vectors differ exactly like the reference's do."""
+    key = text if instruction is None else f"{instruction}\n{text}"
+    seed = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(dim)
     return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+# the reference's task instructions (prompts/linking.py:1-10)
+QUERY_TO_FACT = "Given a question, retrieve relevant triplet facts that matches this question."
+QUERY_TO_PASSAGE = "Given a question, retrieve relevant documents that best answer the question."
 
 
 # DataType object (not a DDL string): string return types are parsed at

@@ -34,9 +34,12 @@ def assemble_prompts(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("rank", "passage"))),
-                    lambda s: F.concat(F.lit("Wikipedia Title: doc\n"), s["passage"]),
+                    # the passage string carries its own title line (docs are
+                    # "title\ntext", main.py:94-99); the reference prepends
+                    # the marker to the WHOLE passage (HippoRAG.py:693-695)
+                    lambda s: F.concat(F.lit("Wikipedia Title: "), s["passage"], F.lit("\n\n")),
                 ),
-                "\n\n",
+                "",
             ).alias("context")
         )
     )
@@ -44,7 +47,7 @@ def assemble_prompts(
         "query_id",
         F.concat(
             F.col("context"),
-            F.lit("\n\nQuestion: "),
+            F.lit("Question: "),
             F.col("question"),
             F.lit("\nThought: "),
         ).alias("prompt"),
@@ -52,8 +55,13 @@ def assemble_prompts(
 
 
 def parse_answer(col):
-    """Extract text after the last 'Answer:' marker (HippoRAG.py:719)."""
-    return F.trim(F.element_at(F.split(col, "Answer:"), -1))
+    """Text after the FIRST 'Answer:' marker (``split('Answer:')[1]``,
+    HippoRAG.py:719-723); no marker → the raw response (the reference's
+    exception fallback)."""
+    parts = F.split(col, "Answer:")
+    return F.when(F.size(parts) >= 2, F.trim(F.element_at(parts, 2))).otherwise(
+        F.trim(col)
+    )
 
 
 def qa_read(

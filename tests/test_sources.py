@@ -59,3 +59,28 @@ def test_openie_cache_diff_and_merge(spark, tmp_path):
     assert cache.load().count() == 6
     cache.merge_save(ex)
     assert cache.load().count() == 6
+
+
+def test_catalog_table_io_fallback_merge(spark, tmp_path):
+    """CatalogTableIO: MERGE-contract upsert/delete through whichever
+    physical path the runtime supports (Iceberg MERGE INTO when the
+    extensions are installed; two-phase parquet swap here)."""
+    from hipporag_spark.sources.catalog import CatalogTableIO, iceberg_available
+
+    target = str(tmp_path / "cat_store")
+    io = CatalogTableIO(spark, target, key="hash_id")
+    assert not io.use_iceberg  # sandbox has no Iceberg jars — fallback path
+
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "hash_id string, v int"
+    )
+    io.create_or_replace(base)
+    # upsert: replace existing key, insert new one
+    io.upsert(spark.createDataFrame([("b", 20), ("c", 3)], "hash_id string, v int"))
+    got = {r["hash_id"]: r["v"] for r in io.load().collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+    # delete by key
+    io.delete_keys(spark.createDataFrame([("a",)], "hash_id string"))
+    got = {r["hash_id"]: r["v"] for r in io.load().collect()}
+    assert got == {"b": 20, "c": 3}
+    assert isinstance(iceberg_available(spark), bool)
