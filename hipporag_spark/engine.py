@@ -94,6 +94,32 @@ class LinkGraphEngine:
         self.num_blocks = num_blocks
         self.state: GraphState | None = None
         self._block_graph = None  # compiled once per state, reused by every retrieve
+        self._graph_coo_bc = None  # broadcast COO, collected once per state
+
+    def graph_coo(self):
+        """The broadcast graph-COO for the current state, collected and
+        broadcast ONCE and invalidated by index()/delete() (same rationale
+        as :meth:`block_graph` — re-collecting + re-broadcasting a
+        multi-hundred-MB COO per retrieve() is a full graph scan per query
+        batch)."""
+        from .algo.ppr import collect_graph_coo
+
+        assert self.state is not None, "index() first"
+        if self._graph_coo_bc is None:
+            s = self.state
+            coo = collect_graph_coo(s.adj, s.strength, s.verts.select("id"))
+            self._graph_coo_bc = self.spark.sparkContext.broadcast(coo)
+        return self._graph_coo_bc
+
+    def _drop_graph_coo(self) -> None:
+        if self._graph_coo_bc is not None:
+            mdir = self._graph_coo_bc.value.get("mmap_dir")
+            self._graph_coo_bc.unpersist()
+            self._graph_coo_bc = None
+            if mdir:
+                import shutil
+
+                shutil.rmtree(mdir, ignore_errors=True)
 
     def block_graph(self):
         """The packed BlockGraph for the current state, compiled lazily ONCE
@@ -218,6 +244,7 @@ class LinkGraphEngine:
         if self._block_graph is not None:  # new graph → stale blocks
             self._block_graph.unpersist()
             self._block_graph = None
+        self._drop_graph_coo()  # new graph → stale broadcast COO
         if old is not None:
             old.unpersist()
         self.state = new
@@ -586,6 +613,7 @@ class LinkGraphEngine:
                 n_vertices=s.n_vertices,
                 damping=damping,
                 graph=self.block_graph() if engine == "csr" else None,
+                graph_coo=self.graph_coo() if engine == "broadcast" else None,
                 checkpoint_dir=checkpoint_dir,
                 run_id=None,
                 engine=engine,

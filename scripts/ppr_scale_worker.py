@@ -1,23 +1,32 @@
 #!/usr/bin/env python
-"""One parallelism level of the PPR scaling benchmark. Prints ONE JSON line.
+"""One (workload, parallelism) point of the PPR scaling benchmark.
+Prints ONE JSON line.
 
-Workload: batch PPR (broadcast-graph engine) over a deterministic synthetic
-link graph — E edges, V vertices, Q single-vertex resets — the retrieval
-regime the BASELINE metric (query·edges/sec) targets. The graph and every
-block/partition count derive from DATA sizes only, so each parallelism
-level runs the identical logical job on identical input.
+Workloads (``SCALE_WORKLOAD``) over a deterministic synthetic link graph —
+E edges, V vertices, Q resets — sized by env so every block/partition count
+derives from DATA only and two parallelism levels run the identical
+logical job on identical input:
 
-Protocol: steady-state measurement — all workers pre-load the mmap-shared
-COO and run one full-shape warmup (first-touch page faults, worker arenas,
-plan compilation), then 3 timed trials; report the minimum (this VM shows
-2-4× interference spikes; min = least-interfered run).
+- ``broadcast``: batch PPR through the broadcast-graph engine (the
+  retrieval regime the BASELINE metric query·edges/sec targets). Two
+  interesting sizes: a CACHE-RESIDENT graph (src stream fits shared L3 —
+  the analog of a multi-executor cluster where each node brings its own
+  memory channels) and a DRAM-BOUND graph (where a single box's shared
+  memory system is the known ceiling — quantified by the calibration).
+- ``blocked``: batch PPR through the packed block (shuffle) engine — the
+  beyond-memory scale path; per-superstep work is Q·E multiply-adds moved
+  through a real shuffle.
 
-With CALIBRATE=1 also measures the HARDWARE's own scaling: the identical
-power-iteration kernel in bare Python processes (no Spark) at 1, N and 4N
-processes over the same mmap arrays. The engine's efficiency can then be
-compared against what the machine itself permits (a single box shares one
-memory system across all cores; a real N→4N executor scale-out multiplies
-memory channels with nodes, which the sandbox cannot).
+Protocol: steady-state measurement — pre-load/warm every worker (mmap
+first-touch, arenas, plan compilation) with one full-shape run, then
+``SCALE_TRIALS`` timed trials; report the minimum (this VM shows 2-4×
+interference spikes; min = least-interfered run).
+
+With CALIBRATE_PROCS="1,8,32" also measures the HARDWARE's own scaling:
+the identical power-iteration kernel in bare Python processes (no Spark)
+at each listed process count over the same mmap arrays. The engine's
+N→4N efficiency can then be read against what the machine itself permits
+between the same two process counts.
 """
 
 from __future__ import annotations
@@ -70,6 +79,7 @@ def _calib_proc(args):
 
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    workload = os.environ.get("SCALE_WORKLOAD", "broadcast")
     E = int(os.environ.get("SCALE_E", "8000000"))
     V = int(os.environ.get("SCALE_V", "50000"))
     Q = int(os.environ.get("SCALE_Q", "256"))
@@ -78,10 +88,14 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from hipporag_spark.algo.ppr import _ppr_broadcast_batch, collect_graph_coo
+    from hipporag_spark.algo.ppr import (
+        _ppr_broadcast_batch,
+        collect_graph_coo,
+        personalized_pagerank_batch,
+    )
     from hipporag_spark.session import get_spark
 
-    spark = get_spark(parallelism=cpus, app_name="ppr_scale")
+    spark = get_spark(parallelism=cpus, app_name=f"ppr_scale_{workload}")
     df = spark.range(E)
     edges = df.select(
         (F.abs(F.xxhash64(F.lit("s"), "id")) % V).alias("src"),
@@ -89,61 +103,88 @@ def main() -> None:
         F.lit(1.0).alias("weight"),
     )
     strength = edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("strength"))
-    t0 = time.time()
-    coo = collect_graph_coo(edges, strength, spark.range(V).select("id"))
-    build_sec = time.time() - t0
-    bc = spark.sparkContext.broadcast(coo)
-
-    def touch(it):
-        for pdf in it:
-            _ = bc.value["n"]
-            yield pd.DataFrame({"x": [len(pdf)]})
-
-    spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(touch, "x long").count()
+    verts = spark.range(V).select("id")
     breset = spark.createDataFrame(
         [(f"q{j:04d}", j % V, 1.0) for j in range(Q)],
         "query_id string, id long, weight double",
     )
-    _ppr_broadcast_batch(spark, bc, breset, 0.5, 1e-6, 2, num_partitions=NP_)[0].count()
 
-    walls, iters_total = [], 0
-    for trial in range(trials):
+    out = {"workload": workload, "cpus": cpus, "E": E, "V": V, "Q": Q}
+    walls: list[float] = []
+
+    if workload == "broadcast":
         t0 = time.time()
-        _, lin = _ppr_broadcast_batch(
-            spark, bc, breset, 0.5, 1e-6, 100 + trial, num_partitions=NP_
-        )
-        walls.append(round(time.time() - t0, 2))
-        iters_total = lin[0]["total_iterations"]
-        assert lin[0]["converged"]
+        coo = collect_graph_coo(edges, strength, verts)
+        out["build_sec"] = round(time.time() - t0, 1)
+        bc = spark.sparkContext.broadcast(coo)
+
+        def touch(it):
+            for pdf in it:
+                _ = bc.value["n"]
+                yield pd.DataFrame({"x": [len(pdf)]})
+
+        spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(touch, "x long").count()
+        _ppr_broadcast_batch(spark, bc, breset, 0.5, 1e-6, 2, num_partitions=NP_)[0].count()
+        iters_total = 0
+        for trial in range(trials):
+            t0 = time.time()
+            _, lin = _ppr_broadcast_batch(
+                spark, bc, breset, 0.5, 1e-6, 100 + trial, num_partitions=NP_
+            )
+            walls.append(round(time.time() - t0, 2))
+            iters_total = lin[0]["total_iterations"]
+            assert lin[0]["converged"]
+        out["num_partitions"] = NP_
+        out["total_query_iterations"] = iters_total
+
+        calib_procs = os.environ.get("CALIBRATE_PROCS", "")
+        if calib_procs and coo.get("mmap_dir"):
+            import multiprocessing as mp
+
+            calib = {}
+            for nproc in (int(x) for x in calib_procs.split(",")):
+                iters = max(4, 128 // nproc)
+                with mp.get_context("spawn").Pool(nproc) as pool:
+                    rates = pool.map(_calib_proc, [(coo["mmap_dir"], iters)] * nproc)
+                calib[str(nproc)] = {
+                    "per_proc_edges_per_sec": round(float(np.median(rates)), 1),
+                    "aggregate_edges_per_sec": round(float(np.sum(rates)), 1),
+                }
+            out["hw_calibration"] = calib
+
+    elif workload == "blocked":
+        from hipporag_spark.graph.blocked import compile_blocks, default_num_blocks
+
+        t0 = time.time()
+        P = default_num_blocks(E)
+        bg = compile_blocks(edges, strength, verts, P)
+        bg.subblocks.count()  # force the packing before timing
+        out["build_sec"] = round(time.time() - t0, 1)
+        out["num_blocks"] = P
+        # warmup: one full-shape superstep pass (plans, arenas, shuffle dirs)
+        personalized_pagerank_batch(
+            spark, edges, strength, verts, breset, n_vertices=V,
+            damping=0.5, max_iter=2, graph=bg, engine="csr",
+        )[0].count()
+        iters_total = 0
+        for trial in range(trials):
+            t0 = time.time()
+            ranks, lin = personalized_pagerank_batch(
+                spark, edges, strength, verts, breset, n_vertices=V,
+                damping=0.5, max_iter=100 + trial, graph=bg, engine="csr",
+            )
+            ranks.count()
+            walls.append(round(time.time() - t0, 2))
+            iters_total = len(lin) * Q
+            assert lin[-1]["converged"]
+        out["supersteps"] = len(lin)
+    else:
+        raise SystemExit(f"unknown SCALE_WORKLOAD {workload!r}")
 
     best = min(walls)
-    out = {
-        "cpus": cpus,
-        "E": E,
-        "V": V,
-        "Q": Q,
-        "num_partitions": NP_,
-        "build_sec": round(build_sec, 1),
-        "trial_walls": walls,
-        "wall_sec": best,
-        "total_query_iterations": iters_total,
-        "query_edges_per_sec": round(iters_total * E / best, 1),
-    }
-
-    if os.environ.get("CALIBRATE") == "1" and coo.get("mmap_dir"):
-        import multiprocessing as mp
-
-        calib = {}
-        for nproc in (1, cpus):
-            iters = max(4, 64 // nproc)
-            with mp.get_context("spawn").Pool(nproc) as pool:
-                rates = pool.map(_calib_proc, [(coo["mmap_dir"], iters)] * nproc)
-            calib[str(nproc)] = {
-                "per_proc_edges_per_sec": round(float(np.median(rates)), 1),
-                "aggregate_edges_per_sec": round(float(np.sum(rates)), 1),
-            }
-        out["hw_calibration"] = calib
-
+    out["trial_walls"] = walls
+    out["wall_sec"] = best
+    out["query_edges_per_sec"] = round(iters_total * E / best, 1)
     print(json.dumps(out))
 
 

@@ -95,6 +95,23 @@ def test_rag_qa_end_to_end_with_eval(spark, engine):
         assert rows[q]["f1"] == 1.0
 
 
+def test_retrieve_reuses_broadcast_coo(spark, tiny_files):
+    """The broadcast-engine COO is collected + broadcast ONCE per GraphState
+    and reused across retrieve() calls; index() invalidates it (VERDICT r1:
+    per-retrieve graph recompilation was the scale-killer pattern)."""
+    eng = LinkGraphEngine(spark, num_blocks=8)
+    eng.index(tiny_files)
+    eng.retrieve(["import libcore"], retrieval_top_k=3).count()
+    bc1 = eng._graph_coo_bc
+    assert bc1 is not None  # tiny graph → auto picks broadcast engine
+    eng.retrieve(["def fn3v0"], retrieval_top_k=3).count()
+    assert eng._graph_coo_bc is bc1  # reused, not re-collected
+    eng.index(repo_files(spark, 12))  # new state → stale COO dropped
+    assert eng._graph_coo_bc is None
+    eng.retrieve(["import libcore"], retrieval_top_k=3).count()
+    assert eng._graph_coo_bc is not None and eng._graph_coo_bc is not bc1
+
+
 def test_rag_qa_dpr_baseline(spark, engine):
     """StandardRAG.py:37-429 — same QA stage over pure DPR retrieval."""
     questions = ["import libcore"]
