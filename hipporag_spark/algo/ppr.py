@@ -380,7 +380,30 @@ def _ppr_blocked(
 # physical page-cache pages
 _MMAP_CACHE: dict = {}
 
+# single-slot registry of the previous broadcast-batch result's persisted
+# packed DataFrame: the ranks a call returns derive from it (unpersisting
+# immediately would recompute the whole iteration on the caller's first
+# action), so the NEXT call releases it — long-lived sessions running many
+# retrievals/benchmark trials otherwise accumulate ~Q·V·8B of executor
+# storage per call (measured as steady trial-over-trial slowdown).
+_PREV_BATCH_OUT: list = []
+
 _COO_ARRAYS = ("src", "w", "inv_strength", "uniq_dst", "rel_seg", "edge_lo", "seg_lo", "dang", "ids")
+
+# auto-created /dev/shm spill dirs are driver-owned: without cleanup they
+# outlive the process and starve the box's shared memory across sessions
+_SPILL_DIRS: list = []
+
+
+def _register_spill_dir(path: str) -> None:
+    if not _SPILL_DIRS:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SPILL_DIRS]
+        )
+    _SPILL_DIRS.append(path)
 
 
 def _resolve_coo(g: dict) -> dict:
@@ -511,6 +534,8 @@ def collect_graph_coo(
             if len(src) >= 2_000_000
             else None
         )
+        if mmap_dir:
+            _register_spill_dir(mmap_dir)
     if mmap_dir:
         out = _spill_coo(out, mmap_dir)
     return out
@@ -649,6 +674,11 @@ def _ppr_broadcast_batch(
     # partitions < queries packs several queries per task; their lockstep
     # iteration then shares each edge-chunk read (see kernel)
     nparts = min(nq, num_partitions) if num_partitions else nq
+    while _PREV_BATCH_OUT:
+        try:
+            _PREV_BATCH_OUT.pop().unpersist()
+        except Exception:
+            pass
     out = (
         reset_df.repartitionByRange(nparts, "query_id")
         .mapInPandas(
@@ -658,6 +688,7 @@ def _ppr_broadcast_batch(
         )
         .persist()
     )
+    _PREV_BATCH_OUT.append(out)
     meta = out.select("query_id", "iters", "delta", "conv").collect()
     iters_q = {r["query_id"]: int(r["iters"]) for r in meta}
     delta_q = {r["query_id"]: r["delta"] for r in meta}

@@ -42,6 +42,14 @@ import numpy as np
 import pandas as pd
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — per-trial interference gauge
+    on a shared host (steal = cycles the hypervisor gave to someone else)."""
+    f = open("/proc/stat").readline().split()
+    vals = [int(x) for x in f[1:9]]
+    return vals[7], sum(vals)
+
+
 def kernel_pass(g: dict, r: np.ndarray, rr: np.ndarray, ebuf, segbuf, d=0.5):
     """One power-iteration SpMV pass — the broadcast engine's inner loop."""
     np.multiply(r, g["inv_strength"], out=rr)
@@ -126,14 +134,19 @@ def main() -> None:
         spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(touch, "x long").count()
         _ppr_broadcast_batch(spark, bc, breset, 0.5, 1e-6, 2, num_partitions=NP_)[0].count()
         iters_total = 0
+        steals = []
         for trial in range(trials):
+            s0, c0 = _cpu_ticks()
             t0 = time.time()
             _, lin = _ppr_broadcast_batch(
                 spark, bc, breset, 0.5, 1e-6, 100 + trial, num_partitions=NP_
             )
             walls.append(round(time.time() - t0, 2))
+            s1, c1 = _cpu_ticks()
+            steals.append(round(100 * (s1 - s0) / max(1, c1 - c0), 1))
             iters_total = lin[0]["total_iterations"]
             assert lin[0]["converged"]
+        out["trial_steal_pct"] = steals
         out["num_partitions"] = NP_
         out["total_query_iterations"] = iters_total
 
@@ -167,7 +180,9 @@ def main() -> None:
             damping=0.5, max_iter=2, graph=bg, engine="csr",
         )[0].count()
         iters_total = 0
+        steals = []
         for trial in range(trials):
+            s0, c0 = _cpu_ticks()
             t0 = time.time()
             ranks, lin = personalized_pagerank_batch(
                 spark, edges, strength, verts, breset, n_vertices=V,
@@ -175,9 +190,12 @@ def main() -> None:
             )
             ranks.count()
             walls.append(round(time.time() - t0, 2))
+            s1, c1 = _cpu_ticks()
+            steals.append(round(100 * (s1 - s0) / max(1, c1 - c0), 1))
             iters_total = len(lin) * Q
             assert lin[-1]["converged"]
         out["supersteps"] = len(lin)
+        out["trial_steal_pct"] = steals
     else:
         raise SystemExit(f"unknown SCALE_WORKLOAD {workload!r}")
 

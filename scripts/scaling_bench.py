@@ -39,6 +39,10 @@ import sys
 
 N = int(os.environ.get("SCALING_N", "8"))
 N4 = 4 * N
+# skip the full bench.py suite (slow at low parallelism) and report only the
+# dedicated PPR scale workloads — used for the local[2]→local[8] pair where
+# the box can genuinely deliver 4× resources (cores AND bandwidth per core)
+SKIP_BENCH = os.environ.get("SCALING_SKIP_BENCH", "") == "1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKLOADS = {
@@ -91,8 +95,8 @@ def main() -> None:
             if name == "broadcast_dram" and cpus == N4:
                 extra["CALIBRATE_PROCS"] = f"1,{N},{N4}"
             res[name][cpus] = run("scripts/ppr_scale_worker.py", cpus, extra)
-    bench_low = run("bench.py", N)
-    bench_high = run("bench.py", N4)
+    bench_low = run("bench.py", N) if not SKIP_BENCH else None
+    bench_high = run("bench.py", N4) if not SKIP_BENCH else None
 
     def wall_eff(name):
         return round(res[name][N]["wall_sec"] / res[name][N4]["wall_sec"] / (N4 / N), 3)
@@ -122,12 +126,17 @@ def main() -> None:
             name: [res[name][N]["query_edges_per_sec"], res[name][N4]["query_edges_per_sec"]]
             for name in WORKLOADS
         },
-        "efficiency_bench_ppr_single": eff("ppr"),
-        "efficiency_bench_ppr_batch_broadcast": eff("ppr_batch"),
-        "efficiency_bench_knn": eff("knn_all_pairs"),
-        "efficiency_bench_triangles": eff("triangle_count"),
-        "efficiency_bench_total": round((bench_low["value"] / bench_high["value"]) / (N4 / N), 3),
     }
+    if not SKIP_BENCH:
+        report.update({
+            "efficiency_bench_ppr_single": eff("ppr"),
+            "efficiency_bench_ppr_batch_broadcast": eff("ppr_batch"),
+            "efficiency_bench_knn": eff("knn_all_pairs"),
+            "efficiency_bench_triangles": eff("triangle_count"),
+            "efficiency_bench_total": round(
+                (bench_low["value"] / bench_high["value"]) / (N4 / N), 3
+            ),
+        })
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -154,34 +163,38 @@ def main() -> None:
             f"on a multi-executor cluster (per-node memory channels) hardware efficiency "
             f"returns to ~1 and wall efficiency tracks the cache-resident number\n"
             f"- raw calibration: `{json.dumps(hw)}`\n\n"
-            f"### Full bench suite (sf0.1 snapshot; small fixed inputs — ppr single is ONE "
-            f"block = serial at this SF, sub-second queries are overhead-dominated)\n\n"
-            f"| metric | local[{N}] | local[{N4}] | efficiency |\n|---|---|---|---|\n"
         )
-        for label, key in [
-            ("PPR single query (blocked engine, 1 block at sf0.1)", "ppr"),
-            ("PPR batch 32q (broadcast engine)", "ppr_batch"),
-            ("PPR batch 32q (blocked engine, 1 block)", "ppr_batch_blocked"),
-            ("exact KNN all-pairs", "knn_all_pairs"),
-            ("triangle count", "triangle_count"),
-        ]:
+        if not SKIP_BENCH:
             f.write(
-                f"| {label} | {bench_low['queries'][key]} | {bench_high['queries'][key]} "
-                f"| {eff(key)} |\n"
+                f"### Full bench suite (sf0.1 snapshot; small fixed inputs — ppr single is ONE "
+                f"block = serial at this SF, sub-second queries are overhead-dominated)\n\n"
+                f"| metric | local[{N}] | local[{N4}] | efficiency |\n|---|---|---|---|\n"
             )
-        f.write(
-            f"| PPR supersteps/min | {bench_low['ppr_supersteps_per_min']} | "
-            f"{bench_high['ppr_supersteps_per_min']} | — |\n"
-            f"| headline total sec | {bench_low['value']} | {bench_high['value']} | "
-            f"{report['efficiency_bench_total']} |\n\n"
-        )
+            for label, key in [
+                ("PPR single query (blocked engine, 1 block at sf0.1)", "ppr"),
+                ("PPR batch 32q (broadcast engine)", "ppr_batch"),
+                ("PPR batch 32q (blocked engine, 1 block)", "ppr_batch_blocked"),
+                ("exact KNN all-pairs", "knn_all_pairs"),
+                ("triangle count", "triangle_count"),
+            ]:
+                f.write(
+                    f"| {label} | {bench_low['queries'][key]} | {bench_high['queries'][key]} "
+                    f"| {eff(key)} |\n"
+                )
+            f.write(
+                f"| PPR supersteps/min | {bench_low['ppr_supersteps_per_min']} | "
+                f"{bench_high['ppr_supersteps_per_min']} | — |\n"
+                f"| headline total sec | {bench_low['value']} | {bench_high['value']} | "
+                f"{report['efficiency_bench_total']} |\n\n"
+            )
         for name in WORKLOADS:
             f.write(f"raw {name} low: `{json.dumps(res[name][N])}`\n\n")
             f.write(f"raw {name} high: `{json.dumps(res[name][N4])}`\n\n")
-        f.write(
-            f"raw bench low: `{json.dumps(bench_low)}`\n\n"
-            f"raw bench high: `{json.dumps(bench_high)}`\n"
-        )
+        if not SKIP_BENCH:
+            f.write(
+                f"raw bench low: `{json.dumps(bench_low)}`\n\n"
+                f"raw bench high: `{json.dumps(bench_high)}`\n"
+            )
 
 
 if __name__ == "__main__":
