@@ -34,45 +34,49 @@ def words(col):
 
 
 def shingles(col, k: int = SHINGLE_K):
-    """Word k-grams as strings; docs shorter than k words yield their full text."""
+    """Word k-grams as strings; docs shorter than k words yield their full text.
+
+    One ``slice`` per gram, NOT k ``element_at`` calls: Catalyst does no CSE
+    inside higher-order-function lambdas, so each ``element_at(w, i+j)``
+    re-inlines the whole ``split()`` — measured 5× slower at sf0.1."""
     w = words(col)
     n = F.size(w)
     return F.when(n < k, F.array(F.lower(col))).otherwise(
         F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
-            ),
+            F.sequence(F.lit(1), (n - (k - 1)).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
         )
     )
 
 
-def _md5_cols(sh, num_hashes: int):
-    """One md5 per shingle per 4 hash functions (each md5 yields four
-    independent 8-hex/32-bit slices) — round 1 evaluated ``num_hashes``
-    md5s per shingle and the hash dominated the whole LSH job."""
+def minhash_sig_table(
+    documents: DataFrame, num_hashes: int = DEFAULT_MINHASHES, k: int = SHINGLE_K
+) -> DataFrame:
+    """``(doc_id, h0..h{n-1})`` signature table via explode + min-aggregate.
+
+    The signature is an AGGREGATION over exploded shingle rows, not a nest
+    of array expressions: Catalyst collapses projections and re-inlines
+    array lambdas into every consumer — when band extraction
+    ``element_at``-ed a signature-array expression the whole signature was
+    re-evaluated per band element (measured ~40× blowup at sf0.1). The
+    groupBy is a real optimization barrier; each md5 is computed exactly
+    once per (doc, shingle) and yields four independent 8-hex/32-bit hash
+    slices. Scale shape: the shuffle is O(total shingles) with map-side
+    partial min — no skew (doc_id keys), no array state."""
     n_md5 = (num_hashes + 3) // 4
-
-    def md5_fn(p):
-        # closure factory: extra default args on the lambda itself would be
-        # counted by PySpark as higher-order-function parameters
-        return lambda s: F.md5(F.concat(F.lit(p), s))
-
-    return [
-        F.transform(sh, md5_fn("" if b == 0 else f"{b}:")).alias(f"_mh{b}")
-        for b in range(n_md5)
-    ]
-
-
-def _minhash_from_md5(num_hashes: int):
-    """Signature entries from the precomputed md5 arrays: hash j = 8-hex
-    slice ``j%4`` of md5 array ``j//4``; min over shingles."""
-    def slice_fn(off):
-        return lambda m: F.substring(m, off, 8)
-
-    return F.array(
+    ex = documents.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), k))).alias("s")
+    )
+    ex = ex.select(
+        "doc_id",
         *[
-            F.array_min(F.transform(F.col(f"_mh{j // 4}"), slice_fn((j % 4) * 8 + 1)))
+            F.md5(F.concat(F.lit("" if b == 0 else f"{b}:"), F.col("s"))).alias(f"_m{b}")
+            for b in range(n_md5)
+        ],
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col(f"_m{j // 4}"), (j % 4) * 8 + 1, 8)).alias(f"h{j}")
             for j in range(num_hashes)
         ]
     )
@@ -116,17 +120,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs ``(doc_a, doc_b)`` sharing ≥1 LSH band."""
     rows_per_band = num_hashes // bands
-    # md5 arrays materialized as columns FIRST so each md5 is evaluated
-    # once, then sliced into 4 hash functions each
-    sh = F.array_distinct(shingles(F.col("text"), k))
-    sig = documents.select("doc_id", *_md5_cols(sh, num_hashes)).select(
-        "doc_id", _minhash_from_md5(num_hashes).alias("sig")
-    )
+    sig = minhash_sig_table(documents, num_hashes, k)
     band_cols = [
         F.concat_ws(
             "|",
             F.lit(str(b)),
-            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
         ).alias(f"band{b}")
         for b in range(bands)
     ]
