@@ -114,16 +114,15 @@ def _normalize_resets(
 # --------------------------------------------------------------------------
 
 _PARTIAL_SCHEMA = (
-    "dblk int, query_id string, kind int, src int, idx array<int>, vals array<double>"
+    "dblk int, kind int, src int, idx array<int>, vals array<double>"
 )
 _OUT_SCHEMA = (
-    "query_id string, block int, vals array<double>, "
-    "delta double, dmass double, mass double, nrows long"
+    "block int, vals array<double>, delta array<double>, "
+    "dmass array<double>, mass array<double>, nrows long"
 )
 _EMPTY_PARTIALS = pd.DataFrame(
     {
         "dblk": pd.Series(dtype="int32"),
-        "query_id": pd.Series(dtype="object"),
         "kind": pd.Series(dtype="int32"),
         "src": pd.Series(dtype="int32"),
         "idx": pd.Series(dtype="object"),
@@ -131,104 +130,136 @@ _EMPTY_PARTIALS = pd.DataFrame(
     }
 )
 
+# worker-side cache of a src block's mmap'd graph arrays, keyed by
+# (spill_dir, block): one np.load(mmap_mode="r") set per worker process,
+# every worker sharing the same physical page-cache pages (the blocked
+# engine's analog of _MMAP_CACHE below)
+_BLOCK_MMAP_CACHE: dict = {}
 
-def _make_spmv_kernel(damping: float):
-    """Stage-1 kernel: per src-block SpMV for all queries at once, emitting
-    sparse pre-aggregated partials keyed by dst block, PLUS the old rank
-    rows forwarded to their own block (kind=0) so stage 2 can compute the
-    L1 delta without any extra join."""
 
-    def kernel(r_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+def _load_block(spill_dir: str, blk: int):
+    """Worker-side: mmap the packed arrays of src block ``blk`` (layout in
+    ``graph.blocked._spill_blocks``). None when the block has no out-edges."""
+    key = (spill_dir, blk)
+    if key in _BLOCK_MMAP_CACHE:
+        return _BLOCK_MMAP_CACHE[key]
+    from ..graph.blocked import BLOCK_SPILL_ARRAYS
+
+    first = f"{spill_dir}/blk{blk}.dblks.npy"
+    g = None
+    if os.path.exists(first):
+        g = {
+            name: np.load(f"{spill_dir}/blk{blk}.{name}.npy", mmap_mode="r")
+            for name in BLOCK_SPILL_ARRAYS
+        }
+    _BLOCK_MMAP_CACHE[key] = g
+    return g
+
+
+def _make_spmv_kernel(damping: float, nq: int, spill_dir: str):
+    """Stage-1 kernel over the PACKED rank rows (one row per block carrying
+    the (nq, n_b) matrix flattened query-major): per src-block SpMV for all
+    queries in one shot, emitting ONE pre-aggregated partial row per dst
+    block (vals = (nq, nu) flattened) plus the old rank row forwarded to
+    its own block (kind=0) so stage 2 computes the L1 delta join-free. The
+    static graph arrays come from the worker-side mmap cache, NOT a cogroup
+    — only O(Q·V) rank data moves per superstep."""
+
+    def kernel(r_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(r_pdf) == 0:
             return _EMPTY_PARTIALS
-        r_pdf = r_pdf.sort_values("query_id", kind="mergesort")
         blk = int(r_pdf["block"].iloc[0])
-        qlist = r_pdf["query_id"].tolist()
-        nq = len(qlist)
-        rows: list[tuple] = []
-        for q, v in zip(qlist, r_pdf["vals"]):
-            rows.append((blk, q, 0, blk, None, np.asarray(v, dtype=np.float64)))
-        if len(s_pdf):
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in r_pdf["vals"]])
+        v_flat = np.asarray(r_pdf["vals"].iloc[0], dtype=np.float64)
+        rows: list[tuple] = [(blk, 0, blk, None, v_flat)]
+        g = _load_block(spill_dir, blk)
+        if g is not None:
+            V = v_flat.reshape(nq, -1)
             qoff = np.arange(nq, dtype=np.int64)[:, None]
-            for srow in s_pdf.itertuples(index=False):
-                src_idx = np.asarray(srow.src_idx, dtype=np.int64)
-                w = np.asarray(srow.w, dtype=np.float64)
-                inv = np.asarray(srow.dst_inv, dtype=np.int64)
-                uniq = np.asarray(srow.dst_uniq, dtype=np.int32)
-                nu = len(uniq)
+            dblks, eoff, uoff = g["dblks"], g["eoff"], g["uoff"]
+            for j in range(len(dblks)):
+                a, b = int(eoff[j]), int(eoff[j + 1])
+                ua, ub = int(uoff[j]), int(uoff[j + 1])
+                nu = ub - ua
+                src_idx = np.asarray(g["src_idx"][a:b], dtype=np.int64)
+                w = g["w"][a:b]
+                inv = np.asarray(g["inv"][a:b], dtype=np.int64)
                 contrib = V[:, src_idx] * w  # (nq, n_edges)
                 flat = (inv[None, :] + qoff * nu).ravel()
-                sums = (
-                    damping
-                    * np.bincount(flat, weights=contrib.ravel(), minlength=nq * nu)
-                ).reshape(nq, nu)
-                for qi, q in enumerate(qlist):
-                    rows.append((int(srow.dblk), q, 1, blk, uniq, sums[qi]))
+                sums = damping * np.bincount(
+                    flat, weights=contrib.ravel(), minlength=nq * nu
+                )
+                rows.append(
+                    (int(dblks[j]), 1, blk, np.asarray(g["uniq"][ua:ub]), sums)
+                )
         return pd.DataFrame(
-            rows, columns=["dblk", "query_id", "kind", "src", "idx", "vals"]
+            rows, columns=["dblk", "kind", "src", "idx", "vals"]
         )
 
     return kernel
 
 
-def _make_combine_kernel(
-    base_by_q: dict[str, float],
-    uniform_q: set[str],
-    qpos: dict[str, int],
-    n: int,
-):
-    """Stage-2 kernel: per dst-block combine. new = base·reset + Σ partials;
-    emits the next packed rank row plus per-(query, block) metrics (L1
-    delta, dangling mass, total mass) in the same pass — no extra action."""
+def _make_combine_kernel(base_arr: np.ndarray, uniform_mask: np.ndarray, n: int):
+    """Stage-2 kernel: per dst-block combine over ALL queries at once.
+    new = base·reset + Σ partials; emits the next packed rank row plus the
+    per-query metric arrays (L1 delta, dangling mass, total mass) in the
+    same pass — no extra join, no extra action."""
+    nq = len(base_arr)
 
     def kernel(p_pdf: pd.DataFrame, rs_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["query_id", "block", "vals", "delta", "dmass", "mass", "nrows"]
+        cols = ["block", "vals", "delta", "dmass", "mass", "nrows"]
         if len(rs_pdf) == 0 or len(p_pdf) == 0:
             return pd.DataFrame(columns=cols)
         rs = rs_pdf.iloc[0]
         blk = int(rs["block"])
-        ids = np.asarray(rs["ids"], dtype=np.int64)
-        n_b = len(ids)
+        n_b = len(rs["ids"])
         dang = np.asarray(rs["dang"], dtype=np.int64)
-        reset_map = {
-            int(qi): (np.asarray(ix, dtype=np.int64), np.asarray(rv, dtype=np.float64))
-            for qi, ix, rv in zip(rs["qidx"], rs["ridx"], rs["rval"])
-        }
-        # deterministic accumulation order: sort by (query, kind, src block)
-        p_pdf = p_pdf.sort_values(["query_id", "kind", "src"], kind="mergesort")
-        out: list[tuple] = []
-        for q, grp in p_pdf.groupby("query_id", sort=True):
-            kinds = grp["kind"].to_numpy()
-            old_vals = grp["vals"].iloc[np.nonzero(kinds == 0)[0][0]]
-            old = np.asarray(old_vals, dtype=np.float64)
-            base = base_by_q[q]
-            if q in uniform_q:
-                new = np.full(n_b, base / n)
-            else:
-                new = np.zeros(n_b)
-                hit = reset_map.get(qpos[q])
-                if hit is not None:
-                    new[hit[0]] = base * hit[1]
-            pr = grp[kinds == 1]
-            if len(pr):
-                idxs = np.concatenate([np.asarray(a, dtype=np.int64) for a in pr["idx"]])
-                vls = np.concatenate([np.asarray(a, dtype=np.float64) for a in pr["vals"]])
-                new = new + np.bincount(idxs, weights=vls, minlength=n_b)
-            delta = float(np.abs(new - old).sum())
-            dmass = float(new[dang].sum()) if len(dang) else 0.0
-            out.append((q, blk, new, delta, dmass, float(new.sum()), n_b))
-        return pd.DataFrame(out, columns=cols)
+        new = np.zeros((nq, n_b))
+        if uniform_mask.any():
+            new[uniform_mask, :] = (base_arr[uniform_mask] / n)[:, None]
+        for qi, ix, rv in zip(rs["qidx"], rs["ridx"], rs["rval"]):
+            qi = int(qi)
+            new[qi, np.asarray(ix, dtype=np.int64)] = base_arr[qi] * np.asarray(
+                rv, dtype=np.float64
+            )
+        # deterministic accumulation order: sort by (kind, src block)
+        p_pdf = p_pdf.sort_values(["kind", "src"], kind="mergesort")
+        kinds = p_pdf["kind"].to_numpy()
+        old = np.asarray(
+            p_pdf["vals"].iloc[int(np.nonzero(kinds == 0)[0][0])], dtype=np.float64
+        ).reshape(nq, n_b)
+        for row in p_pdf[kinds == 1].itertuples(index=False):
+            uniq = np.asarray(row.idx, dtype=np.int64)
+            new[:, uniq] += np.asarray(row.vals, dtype=np.float64).reshape(
+                nq, len(uniq)
+            )
+        delta = np.abs(new - old).sum(axis=1)
+        dmass = new[:, dang].sum(axis=1) if len(dang) else np.zeros(nq)
+        mass = new.sum(axis=1)
+        return pd.DataFrame(
+            [(blk, new.ravel(), delta, dmass, mass, n_b)], columns=cols
+        )
 
     return kernel
 
 
-def _unpack_ranks(ranks_packed: DataFrame, vstate: DataFrame) -> DataFrame:
-    """(query_id, block, vals) + block ids → (query_id, id, value), JVM-side."""
+def _unpack_ranks(
+    ranks_packed: DataFrame, vstate: DataFrame, qids: list[str]
+) -> DataFrame:
+    """(block, vals[nq·n_b]) + block ids → (query_id, id, value), JVM-side:
+    posexplode + div/mod on the flat position recovers (query, vertex)."""
+    qarr = F.array(*[F.lit(q) for q in qids])
     return (
         ranks_packed.join(vstate.select("block", "ids"), "block")
-        .select("query_id", F.explode(F.arrays_zip("ids", "vals")).alias("z"))
-        .select("query_id", F.col("z.ids").alias("id"), F.col("z.vals").alias("value"))
+        .select("ids", F.posexplode("vals").alias("pos", "value"))
+        .select(
+            F.element_at(qarr, (F.col("pos") / F.size("ids")).cast("int") + 1).alias(
+                "query_id"
+            ),
+            F.element_at(
+                F.col("ids"), (F.col("pos") % F.size("ids")).cast("int") + 1
+            ).alias("id"),
+            "value",
+        )
     )
 
 
@@ -247,24 +278,26 @@ def _ppr_blocked(
 ) -> tuple[DataFrame, list[dict]]:
     """The shared superstep loop of the packed block engine.
 
-    Exactly one Spark job per superstep: cogroup SpMV → cogroup combine →
-    localCheckpoint → collect of the (q, block) metric columns (the packed
-    vectors stay executor-side). Convergence/metrics run EVERY superstep
-    (they're fused, hence free); ``check_every`` controls only the durable
-    checkpoint cadence.
+    Exactly one Spark job per superstep: SpMV over the packed rank rows
+    (static graph arrays from the worker mmap cache, see
+    ``graph.blocked._spill_blocks``) → cogroup combine → localCheckpoint →
+    collect of the per-block metric arrays (the packed vectors stay
+    executor-side). Convergence/metrics run EVERY superstep (they're fused,
+    hence free); ``check_every`` controls only the durable checkpoint
+    cadence.
     """
     n = bg.n_vertices
     P = bg.num_blocks
-    qpos = {q: i for i, q in enumerate(qids)}
+    nq = len(qids)
+    uniform_mask = np.array([q in uniform_q for q in qids], dtype=bool)
     runstate = build_runstate(bg, reset_rows, qids, uniform_q, n)
-    spmv = _make_spmv_kernel(damping)
+    if bg.spill_dir is None:
+        raise ValueError("BlockGraph has no spill_dir; recompile with compile_blocks")
+    spmv = _make_spmv_kernel(damping, nq, bg.spill_dir)
 
-    qdf = spark.createDataFrame([(q,) for q in qids], "query_id string")
-    ranks = (
-        qdf.crossJoin(bg.vstate.select("block", F.size("ids").alias("nb")))
-        .select(
-            "query_id", "block", F.array_repeat(F.lit(1.0 / n), F.col("nb")).alias("vals")
-        )
+    ranks = bg.vstate.select(
+        "block",
+        F.array_repeat(F.lit(1.0 / n), (F.size("ids") * nq).cast("int")).alias("vals"),
     )
     dangling_mass = {q: bg.n_dangling / n for q in qids}
 
@@ -276,6 +309,12 @@ def _ppr_blocked(
         latest = ckpt.latest_complete()
         if latest is not None:
             ranks, manifest = ckpt.load(spark, latest)
+            saved_q = manifest.get("qids")
+            if saved_q is not None and list(saved_q) != list(qids):
+                raise ValueError(
+                    f"checkpoint {ckpt.run_id} was written for queries "
+                    f"{saved_q}, resume requested {qids}"
+                )
             lineage = ckpt.lineage()
             if manifest.get("converged"):
                 runstate.unpersist()
@@ -288,31 +327,27 @@ def _ppr_blocked(
     prev = ranks
     for step in range(start_step, max_iter):
         t0 = time.time()
-        base_by_q = {
-            q: (1.0 - damping) + damping * dangling_mass[q] for q in qids
-        }
-        combine = _make_combine_kernel(base_by_q, uniform_q, qpos, n)
-        partials = (
-            ranks.groupby("block")
-            .cogroup(bg.subblocks.groupby("block"))
-            .applyInPandas(spmv, _PARTIAL_SCHEMA)
+        base_arr = np.array(
+            [(1.0 - damping) + damping * dangling_mass[q] for q in qids]
         )
+        combine = _make_combine_kernel(base_arr, uniform_mask, n)
+        partials = ranks.groupby("block").applyInPandas(spmv, _PARTIAL_SCHEMA)
         out = (
             partials.groupby("dblk")
             .cogroup(runstate.groupby("block"))
             .applyInPandas(combine, _OUT_SCHEMA)
         ).localCheckpoint(eager=False)
         # the ONE action per superstep: materializes the packed vectors
-        # executor-side and pulls only the scalar metric columns
-        mrows = out.select(
-            "query_id", "block", "delta", "dmass", "mass", "nrows"
-        ).collect()
+        # executor-side and pulls only the per-query metric arrays (O(P·Q)
+        # scalars — the (nq, n_b) rank matrices stay executor-side)
+        mrows = out.select("block", "delta", "dmass", "mass", "nrows").collect()
 
         deltas = {q: 0.0 for q in qids}
         dangling_mass = {q: 0.0 for q in qids}
         for r in mrows:
-            deltas[r["query_id"]] += r["delta"]
-            dangling_mass[r["query_id"]] += r["dmass"]
+            for qi, q in enumerate(qids):
+                deltas[q] += r["delta"][qi]
+                dangling_mass[q] += r["dmass"][qi]
         delta = max(deltas.values()) if deltas else 0.0
         converged = delta < tol
         wall_ms = (time.time() - t0) * 1000
@@ -329,13 +364,14 @@ def _ppr_blocked(
             wall_ms=wall_ms,
             partitions=[
                 {
-                    "query_id": r["query_id"],
+                    "query_id": q,
                     "block": r["block"],
                     "rows": r["nrows"],
-                    "delta": r["delta"],
-                    "mass": r["mass"],
+                    "delta": r["delta"][qi],
+                    "mass": r["mass"][qi],
                 }
                 for r in mrows
+                for qi, q in enumerate(qids)
             ],
             extra={
                 "engine": "blocked-csr",
@@ -343,11 +379,12 @@ def _ppr_blocked(
                 "n_vertices": n,
                 "num_blocks": P,
                 "n_queries": len(qids),
+                "qids": qids,
                 "dangling_mass": dangling_mass,
                 "per_query_delta": deltas,
             },
         )
-        new_ranks = out.select("query_id", "block", "vals")
+        new_ranks = out.select("block", "vals")
         if ckpt is not None and is_check:
             new_ranks = ckpt.write(new_ranks, meta)
             out.unpersist()
@@ -1017,7 +1054,7 @@ def personalized_pagerank(
         spark, bg, reset_rows, qids, uniform_q, damping, tol, max_iter,
         checkpoint_dir, run_id, check_every,
     )
-    ranks = _unpack_ranks(ranks_packed, bg.vstate).select("id", "value")
+    ranks = _unpack_ranks(ranks_packed, bg.vstate, qids).select("id", "value")
     if graph is None:
         bg.unpersist()
     return ranks, lineage
@@ -1076,7 +1113,7 @@ def personalized_pagerank_batch(
         spark, bg, reset_rows, qids, uniform_q, damping, tol, max_iter,
         checkpoint_dir, run_id, check_every,
     )
-    ranks = _unpack_ranks(ranks_packed, bg.vstate)
+    ranks = _unpack_ranks(ranks_packed, bg.vstate, qids)
     if graph is None:
         bg.unpersist()
     return ranks, lineage

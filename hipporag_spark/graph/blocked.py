@@ -29,6 +29,8 @@ per-task memory stays bounded by the block size, never the graph size.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass
 
 import numpy as np
@@ -39,6 +41,27 @@ from pyspark.sql import functions as F
 from .csr import block_of
 
 EDGES_PER_BLOCK = 250_000
+
+# driver-owned spill dirs for compiled block arrays (see _spill_blocks);
+# removed atexit so /dev/shm is not starved across sessions
+_SPILL_DIRS: list = []
+
+
+def _register_spill_dir(path: str) -> None:
+    if not _SPILL_DIRS:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SPILL_DIRS]
+        )
+    _SPILL_DIRS.append(path)
+
+
+# the concatenated per-src-block arrays written by _spill_blocks and mapped
+# back by algo.ppr's superstep kernel (one np.load(mmap_mode="r") per worker
+# process per block; all workers share the same physical page-cache pages)
+BLOCK_SPILL_ARRAYS = ("dblks", "eoff", "uoff", "src_idx", "w", "inv", "uniq")
 
 VSTATE_SCHEMA = "block int, ids array<long>, dang array<int>"
 SUBBLOCK_SCHEMA = (
@@ -65,6 +88,15 @@ class BlockGraph:
     n_dangling: int
     vstate: DataFrame  # VSTATE_SCHEMA, partitioned+cached on block
     subblocks: DataFrame  # SUBBLOCK_SCHEMA, partitioned+cached on block
+    # worker-readable directory of the per-src-block packed arrays; the
+    # superstep kernel mmaps these ONCE per worker instead of moving the
+    # static graph through the cogroup shuffle + Arrow every iteration
+    # (round-2 profiling: re-deserializing the cached subblocks cost more
+    # per superstep than the SpMV itself). In local mode the dir is shared
+    # by construction; on a multi-executor cluster the same layout lives on
+    # a shared store (or executor-local disk — hash partitioning gives each
+    # executor a stable block working set, so the mmap cache still hits).
+    spill_dir: str | None = None
 
     def unpersist(self) -> None:
         self.vstate.unpersist()
@@ -171,13 +203,68 @@ def compile_blocks(
         n_vertices += r["nv"]
         n_dangling += r["nd"]
 
+    spill_dir = _spill_blocks(subblocks)
+
     return BlockGraph(
         num_blocks=P,
         n_vertices=n_vertices,
         n_dangling=n_dangling,
         vstate=vstate,
         subblocks=subblocks,
+        spill_dir=spill_dir,
     )
+
+
+def _spill_blocks(subblocks: DataFrame) -> str:
+    """Concatenate each src block's subblock arrays and write them as
+    worker-mappable ``.npy`` files: ``blk{b}.{name}.npy`` for name in
+    :data:`BLOCK_SPILL_ARRAYS`. Executed BY the executors (one task per src
+    block, already hash-partitioned), so no block ever transits the driver.
+
+    Per block: ``dblks[j]`` is the j-th destination block, edges
+    ``eoff[j]:eoff[j+1]`` of ``src_idx``/``w``/``inv`` belong to it, and its
+    distinct local dst indices are ``uniq[uoff[j]:uoff[j+1]]`` (``inv`` is
+    relative to that slice). Blocks with no out-edges write no file."""
+    spill_dir = tempfile.mkdtemp(
+        prefix="hipporag_blocks_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    _register_spill_dir(spill_dir)
+
+    def write_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dblk", kind="mergesort")
+        blk = int(pdf["block"].iloc[0])
+        arrs = {
+            "dblks": pdf["dblk"].to_numpy(dtype=np.int32),
+            "src_idx": np.concatenate(
+                [np.asarray(a, dtype=np.int32) for a in pdf["src_idx"]]
+            ),
+            "w": np.concatenate([np.asarray(a, dtype=np.float64) for a in pdf["w"]]),
+            "inv": np.concatenate(
+                [np.asarray(a, dtype=np.int32) for a in pdf["dst_inv"]]
+            ),
+            "uniq": np.concatenate(
+                [np.asarray(a, dtype=np.int32) for a in pdf["dst_uniq"]]
+            ),
+        }
+        arrs["eoff"] = np.concatenate(
+            [[0], np.cumsum([len(a) for a in pdf["src_idx"]])]
+        ).astype(np.int64)
+        arrs["uoff"] = np.concatenate(
+            [[0], np.cumsum([len(a) for a in pdf["dst_uniq"]])]
+        ).astype(np.int64)
+        for name, arr in arrs.items():
+            # np.save(path) appends ".npy" to non-.npy names — write via the
+            # file object so the tmp → final rename stays atomic
+            tmp = f"{spill_dir}/.blk{blk}.{name}.npy.tmp"
+            with open(tmp, "wb") as fh:
+                np.save(fh, arr)
+            os.replace(tmp, f"{spill_dir}/blk{blk}.{name}.npy")
+        return pd.DataFrame({"block": [blk], "nedges": [len(arrs["src_idx"])]})
+
+    subblocks.groupBy("block").applyInPandas(
+        write_block, "block int, nedges long"
+    ).collect()
+    return spill_dir
 
 
 RUNSTATE_SCHEMA = (
