@@ -9,12 +9,24 @@ variables, no ``collect()`` of large data).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _local_dir() -> str:
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        path = "/dev/shm/spark_local"
+        os.makedirs(path, exist_ok=True)
+        return path
+    return tempfile.gettempdir()
 
 
 def get_spark(
@@ -49,6 +61,11 @@ def get_spark(
         # small inputs arrive as one file = one partition; without a lower
         # split size every compute-heavy map stage runs on ONE core
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # shuffle/spill local dirs: on a real cluster these are
+        # executor-local NVMe; this sandbox's /tmp sits on one shared
+        # virtual disk whose bandwidth serializes every core's shuffle
+        # writes, so RAM-backed dirs are the representative stand-in
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
