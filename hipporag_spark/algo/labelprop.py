@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
+from ..lifecycle import free_local_checkpoint
 from ..graph.csr import block_of
 
 
@@ -109,6 +110,7 @@ def label_propagation(
             labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
             new_labels.unpersist()
         old.unpersist()
+        free_local_checkpoint(old)
         lineage.append(
             {"run_id": meta.run_id, "superstep": step, "changed": changed,
              "converged": converged, "wall_ms": wall_ms, "partitions": meta.partitions}

@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
 from ..graph.blocked import BlockGraph, build_runstate, compile_blocks, default_num_blocks
 from ..graph.csr import block_of
+from ..lifecycle import free_local_checkpoint
 
 __all__ = [
     "personalized_pagerank",
@@ -120,6 +121,11 @@ _OUT_SCHEMA = (
     "block int, vals array<double>, delta array<double>, "
     "dmass array<double>, mass array<double>, nrows long"
 )
+# single-slot registry of the previous blocked run's final superstep
+# checkpoint (it backs the ranks that run returned; see _PREV_BATCH_OUT
+# below for the same pattern in the broadcast engine)
+_PREV_BLOCKED_CK: list = []
+
 _EMPTY_PARTIALS = pd.DataFrame(
     {
         "dblk": pd.Series(dtype="int32"),
@@ -135,6 +141,24 @@ _EMPTY_PARTIALS = pd.DataFrame(
 # every worker sharing the same physical page-cache pages (the blocked
 # engine's analog of _MMAP_CACHE below)
 _BLOCK_MMAP_CACHE: dict = {}
+
+# worker-side scratch buffers reused across supersteps, keyed by
+# (spill_dir, role): kernels run every superstep on identically-shaped
+# data, so allocating multi-10MB temporaries per call is pure churn — and
+# on this virtualized box, fresh large allocations intermittently stall
+# 10-100× on first touch (host-side fault latency; guest minor-fault count
+# identical between fast and slow calls). Steady-state supersteps must
+# therefore touch only preallocated, already-resident memory.
+_SCRATCH: dict = {}
+
+
+def _scratch(key: tuple, shape: tuple, dtype=np.float64) -> np.ndarray:
+    buf = _SCRATCH.get(key)
+    need = int(np.prod(shape))
+    if buf is None or buf.size < need or buf.dtype != np.dtype(dtype):
+        buf = np.empty(need, dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf[:need].reshape(shape)
 
 
 def _load_block(spill_dir: str, blk: int):
@@ -174,22 +198,28 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str):
         g = _load_block(spill_dir, blk)
         if g is not None:
             V = v_flat.reshape(nq, -1)
-            qoff = np.arange(nq, dtype=np.int64)[:, None]
             dblks, eoff, uoff = g["dblks"], g["eoff"], g["uoff"]
+            max_e = int(np.diff(eoff).max()) if len(dblks) else 0
+            # per-query gather buffer: edge-sized, reused across dst blocks,
+            # queries, and supersteps (see _SCRATCH) — the working set per
+            # bincount pass is one (n_edges_j,) stream, never (nq, n_edges)
+            ebuf = _scratch((spill_dir, "spmv_e"), (max(1, max_e),))
             for j in range(len(dblks)):
                 a, b = int(eoff[j]), int(eoff[j + 1])
                 ua, ub = int(uoff[j]), int(uoff[j + 1])
                 nu = ub - ua
                 src_idx = np.asarray(g["src_idx"][a:b], dtype=np.int64)
-                w = g["w"][a:b]
+                w = np.asarray(g["w"][a:b])
                 inv = np.asarray(g["inv"][a:b], dtype=np.int64)
-                contrib = V[:, src_idx] * w  # (nq, n_edges)
-                flat = (inv[None, :] + qoff * nu).ravel()
-                sums = damping * np.bincount(
-                    flat, weights=contrib.ravel(), minlength=nq * nu
-                )
+                eb = ebuf[: b - a]
+                sums = _scratch((spill_dir, "spmv_out", j), (nq, nu))
+                for q in range(nq):
+                    np.take(V[q], src_idx, out=eb)
+                    np.multiply(eb, w, out=eb)
+                    sums[q] = np.bincount(inv, weights=eb, minlength=nu)
+                sums *= damping
                 rows.append(
-                    (int(dblks[j]), 1, blk, np.asarray(g["uniq"][ua:ub]), sums)
+                    (int(dblks[j]), 1, blk, np.asarray(g["uniq"][ua:ub]), sums.ravel())
                 )
         return pd.DataFrame(
             rows, columns=["dblk", "kind", "src", "idx", "vals"]
@@ -213,7 +243,8 @@ def _make_combine_kernel(base_arr: np.ndarray, uniform_mask: np.ndarray, n: int)
         blk = int(rs["block"])
         n_b = len(rs["ids"])
         dang = np.asarray(rs["dang"], dtype=np.int64)
-        new = np.zeros((nq, n_b))
+        new = _scratch(("combine", blk), (nq, n_b))
+        new.fill(0.0)
         if uniform_mask.any():
             new[uniform_mask, :] = (base_arr[uniform_mask] / n)[:, None]
         for qi, ix, rv in zip(rs["qidx"], rs["ridx"], rs["rval"]):
@@ -232,7 +263,10 @@ def _make_combine_kernel(base_arr: np.ndarray, uniform_mask: np.ndarray, n: int)
             new[:, uniq] += np.asarray(row.vals, dtype=np.float64).reshape(
                 nq, len(uniq)
             )
-        delta = np.abs(new - old).sum(axis=1)
+        diff = _scratch(("combine_diff", blk), (nq, n_b))
+        np.subtract(new, old, out=diff)
+        np.abs(diff, out=diff)
+        delta = diff.sum(axis=1)
         dmass = new[:, dang].sum(axis=1) if len(dang) else np.zeros(nq)
         mass = new.sum(axis=1)
         return pd.DataFrame(
@@ -317,14 +351,17 @@ def _ppr_blocked(
                 )
             lineage = ckpt.lineage()
             if manifest.get("converged"):
-                runstate.unpersist()
+                free_local_checkpoint(runstate)
                 return ranks, lineage
             start_step = latest + 1
             dangling_mass = manifest["dangling_mass"]
     ranks = ranks.localCheckpoint(eager=True)
 
     converged = False
-    prev = ranks
+    # the checkpoint backing the CURRENT ranks; superseded checkpoints are
+    # freed deterministically (see lifecycle.free_local_checkpoint) — the
+    # loop holds at most TWO supersteps' blocks at any moment
+    prev_ck: DataFrame | None = ranks
     for step in range(start_step, max_iter):
         t0 = time.time()
         base_arr = np.array(
@@ -386,10 +423,13 @@ def _ppr_blocked(
         )
         new_ranks = out.select("block", "vals")
         if ckpt is not None and is_check:
-            new_ranks = ckpt.write(new_ranks, meta)
-            out.unpersist()
-        prev.unpersist()
-        prev = new_ranks
+            new_ranks = ckpt.write(new_ranks, meta)  # parquet-backed copy
+            free_local_checkpoint(out)
+            cur_ck = None
+        else:
+            cur_ck = out
+        free_local_checkpoint(prev_ck)
+        prev_ck = cur_ck
         ranks = new_ranks
         lineage.append(
             {
@@ -404,7 +444,13 @@ def _ppr_blocked(
         if converged:
             break
 
-    runstate.unpersist()
+    free_local_checkpoint(runstate)
+    # the final superstep's blocks back the returned ranks — release them
+    # on the NEXT blocked run instead of leaking per call
+    while _PREV_BLOCKED_CK:
+        free_local_checkpoint(_PREV_BLOCKED_CK.pop())
+    if prev_ck is not None:
+        _PREV_BLOCKED_CK.append(prev_ck)
     return ranks, lineage
 
 
@@ -835,6 +881,7 @@ def _ppr_dataframe_single(
         ranks = new_ranks.localCheckpoint(eager=True)
         new_ranks.unpersist()
         old.unpersist()
+        free_local_checkpoint(old)
         lineage.append(
             {
                 "run_id": "in-memory",
@@ -850,8 +897,8 @@ def _ppr_dataframe_single(
         )
         if converged:
             break
-    reset.unpersist()
-    dangling_ids.unpersist()
+    free_local_checkpoint(reset)
+    free_local_checkpoint(dangling_ids)
     adj_norm.unpersist()
     return ranks, lineage
 
@@ -925,6 +972,7 @@ def _ppr_dataframe_batch(
             ranks = new_ranks.localCheckpoint(eager=True)
             new_ranks.unpersist()
             old.unpersist()
+            free_local_checkpoint(old)
             lineage.append(
                 {"run_id": "in-memory", "superstep": step, "delta": None,
                  "converged": False, "wall_ms": (time.time() - t0) * 1000,
@@ -970,6 +1018,7 @@ def _ppr_dataframe_batch(
         ranks = new_ranks.localCheckpoint(eager=True)
         new_ranks.unpersist()
         old.unpersist()
+        free_local_checkpoint(old)
         lineage.append(
             {
                 "run_id": "in-memory",
@@ -985,8 +1034,8 @@ def _ppr_dataframe_batch(
         )
         if converged:
             break
-    reset.unpersist()
-    dangling_ids.unpersist()
+    free_local_checkpoint(reset)
+    free_local_checkpoint(dangling_ids)
     adj_norm.unpersist()
     return ranks, lineage
 
@@ -1056,6 +1105,10 @@ def personalized_pagerank(
     )
     ranks = _unpack_ranks(ranks_packed, bg.vstate, qids).select("id", "value")
     if graph is None:
+        # ad-hoc graph: materialize the result BEFORE releasing the block
+        # tables it reads from (unpersist now really frees the blocks)
+        ranks = ranks.localCheckpoint(eager=True)
+        _PREV_BLOCKED_CK.append(ranks)
         bg.unpersist()
     return ranks, lineage
 
@@ -1115,5 +1168,7 @@ def personalized_pagerank_batch(
     )
     ranks = _unpack_ranks(ranks_packed, bg.vstate, qids)
     if graph is None:
+        ranks = ranks.localCheckpoint(eager=True)
+        _PREV_BLOCKED_CK.append(ranks)
         bg.unpersist()
     return ranks, lineage

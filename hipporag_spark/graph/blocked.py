@@ -99,8 +99,10 @@ class BlockGraph:
     spill_dir: str | None = None
 
     def unpersist(self) -> None:
-        self.vstate.unpersist()
-        self.subblocks.unpersist()
+        from ..lifecycle import free_local_checkpoint
+
+        free_local_checkpoint(self.vstate)
+        free_local_checkpoint(self.subblocks)
 
 
 def compile_blocks(
