@@ -126,6 +126,11 @@ _OUT_SCHEMA = (
 # below for the same pattern in the broadcast engine)
 _PREV_BLOCKED_CK: list = []
 
+# above this many blocks the SpMV kernel stops emitting P kind=2
+# (dangling-mass) rows per source block (P² total) and the loop switches
+# to a JVM aggregate + broadcast fan-out of the global sum
+_K2_FANOUT_MAX = 512
+
 _EMPTY_PARTIALS = pd.DataFrame(
     {
         "dblk": pd.Series(dtype="int32"),
@@ -180,14 +185,35 @@ def _load_block(spill_dir: str, blk: int):
     return g
 
 
-def _make_spmv_kernel(damping: float, nq: int, spill_dir: str):
+def _load_dang(spill_dir: str, blk: int) -> np.ndarray:
+    """Worker-side: the block's dangling local indices (written by
+    ``graph.blocked._spill_dangling``); cached like the edge arrays."""
+    key = (spill_dir, blk, "dang")
+    d = _BLOCK_MMAP_CACHE.get(key)
+    if d is None:
+        path = f"{spill_dir}/blk{blk}.dang.npy"
+        d = (
+            np.load(path, mmap_mode="r")
+            if os.path.exists(path)
+            else np.empty(0, dtype=np.int32)
+        )
+        _BLOCK_MMAP_CACHE[key] = d
+    return d
+
+
+def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, num_blocks: int):
     """Stage-1 kernel over the PACKED rank rows (one row per block carrying
     the (nq, n_b) matrix flattened query-major): per src-block SpMV for all
     queries in one shot, emitting ONE pre-aggregated partial row per dst
     block (vals = (nq, nu) flattened) plus the old rank row forwarded to
     its own block (kind=0) so stage 2 computes the L1 delta join-free. The
     static graph arrays come from the worker-side mmap cache, NOT a cogroup
-    — only O(Q·V) rank data moves per superstep."""
+    — only O(Q·V) rank data moves per superstep.
+
+    kind=2 rows carry the block's dangling rank mass to EVERY dst block
+    (O(P²) tiny rows), so the combine computes the global teleport base
+    locally — no per-superstep driver synchronization, which is what lets
+    ``check_every`` supersteps chain into one Spark job."""
 
     def kernel(r_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(r_pdf) == 0:
@@ -195,6 +221,14 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str):
         blk = int(r_pdf["block"].iloc[0])
         v_flat = np.asarray(r_pdf["vals"].iloc[0], dtype=np.float64)
         rows: list[tuple] = [(blk, 0, blk, None, v_flat)]
+        dang = _load_dang(spill_dir, blk)
+        dmass = (
+            v_flat.reshape(nq, -1)[:, np.asarray(dang, dtype=np.int64)].sum(axis=1)
+            if len(dang)
+            else np.zeros(nq)
+        )
+        for j in range(num_blocks):
+            rows.append((j, 2, blk, None, dmass))
         g = _load_block(spill_dir, blk)
         if g is not None:
             V = v_flat.reshape(nq, -1)
@@ -228,12 +262,13 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str):
     return kernel
 
 
-def _make_combine_kernel(base_arr: np.ndarray, uniform_mask: np.ndarray, n: int):
+def _make_combine_kernel(damping: float, nq: int, uniform_mask: np.ndarray, n: int):
     """Stage-2 kernel: per dst-block combine over ALL queries at once.
-    new = base·reset + Σ partials; emits the next packed rank row plus the
-    per-query metric arrays (L1 delta, dangling mass, total mass) in the
-    same pass — no extra join, no extra action."""
-    nq = len(base_arr)
+    base_q = (1-d) + d·Σ_blocks dmass_q (from the kind=2 partial rows);
+    new = base·reset + Σ kind=1 partials; emits the next packed rank row
+    plus the per-query metric arrays (L1 delta, dangling mass, total mass)
+    in the same pass — no extra join, no extra action, and no driver-fed
+    state, so supersteps compose into one lazy plan."""
 
     def kernel(p_pdf: pd.DataFrame, rs_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["block", "vals", "delta", "dmass", "mass", "nrows"]
@@ -243,6 +278,13 @@ def _make_combine_kernel(base_arr: np.ndarray, uniform_mask: np.ndarray, n: int)
         blk = int(rs["block"])
         n_b = len(rs["ids"])
         dang = np.asarray(rs["dang"], dtype=np.int64)
+        # deterministic accumulation order: sort by (kind, src block)
+        p_pdf = p_pdf.sort_values(["kind", "src"], kind="mergesort")
+        kinds = p_pdf["kind"].to_numpy()
+        base_arr = np.full(nq, 0.0)
+        for row in p_pdf[kinds == 2].itertuples(index=False):
+            base_arr += np.asarray(row.vals, dtype=np.float64)
+        base_arr = (1.0 - damping) + damping * base_arr
         new = _scratch(("combine", blk), (nq, n_b))
         new.fill(0.0)
         if uniform_mask.any():
@@ -252,9 +294,6 @@ def _make_combine_kernel(base_arr: np.ndarray, uniform_mask: np.ndarray, n: int)
             new[qi, np.asarray(ix, dtype=np.int64)] = base_arr[qi] * np.asarray(
                 rv, dtype=np.float64
             )
-        # deterministic accumulation order: sort by (kind, src block)
-        p_pdf = p_pdf.sort_values(["kind", "src"], kind="mergesort")
-        kinds = p_pdf["kind"].to_numpy()
         old = np.asarray(
             p_pdf["vals"].iloc[int(np.nonzero(kinds == 0)[0][0])], dtype=np.float64
         ).reshape(nq, n_b)
@@ -308,32 +347,42 @@ def _ppr_blocked(
     max_iter: int,
     checkpoint_dir: str | None,
     run_id: str | None,
-    check_every: int,
+    check_every: int | None,
 ) -> tuple[DataFrame, list[dict]]:
     """The shared superstep loop of the packed block engine.
 
-    Exactly one Spark job per superstep: SpMV over the packed rank rows
-    (static graph arrays from the worker mmap cache, see
-    ``graph.blocked._spill_blocks``) → cogroup combine → localCheckpoint →
-    collect of the per-block metric arrays (the packed vectors stay
-    executor-side). Convergence/metrics run EVERY superstep (they're fused,
-    hence free); ``check_every`` controls only the durable checkpoint
-    cadence.
+    ``check_every`` supersteps run as ONE Spark job: the dangling-mass
+    teleport correction flows through the data (kind=2 partial rows from
+    the SpMV, summed in the combine), so interior supersteps need no
+    driver action at all — the chunk's single action materializes the
+    final packed vectors executor-side and pulls only the per-block metric
+    arrays (O(P·Q) scalars). Convergence is therefore detected at chunk
+    granularity (a converged run does ≤ check_every-1 extra supersteps,
+    which only tightens the fixed point). With ``checkpoint_dir`` the same
+    cadence is the durable-checkpoint cadence, default every superstep
+    (the north-rule resume contract); in-memory runs default to chunks of
+    4.
     """
     n = bg.n_vertices
     P = bg.num_blocks
     nq = len(qids)
+    chunk_size = check_every if check_every else (1 if checkpoint_dir else 4)
     uniform_mask = np.array([q in uniform_q for q in qids], dtype=bool)
     runstate = build_runstate(bg, reset_rows, qids, uniform_q, n)
     if bg.spill_dir is None:
         raise ValueError("BlockGraph has no spill_dir; recompile with compile_blocks")
-    spmv = _make_spmv_kernel(damping, nq, bg.spill_dir)
+    # P² kind=2 rows are cheap up to a few hundred blocks (the superstep's
+    # rank rows dominate); past that the kernel emits ONE row per block and
+    # a JVM-side aggregate + broadcast fans the global sum back out — same
+    # dataflow, one extra (tiny) stage, no driver barrier either way
+    fanout = P <= _K2_FANOUT_MAX
+    spmv = _make_spmv_kernel(damping, nq, bg.spill_dir, P if fanout else 0)
+    combine = _make_combine_kernel(damping, nq, uniform_mask, n)
 
     ranks = bg.vstate.select(
         "block",
         F.array_repeat(F.lit(1.0 / n), (F.size("ids") * nq).cast("int")).alias("vals"),
     )
-    dangling_mass = {q: bg.n_dangling / n for q in qids}
 
     ckpt = None
     start_step = 0
@@ -354,29 +403,55 @@ def _ppr_blocked(
                 free_local_checkpoint(runstate)
                 return ranks, lineage
             start_step = latest + 1
-            dangling_mass = manifest["dangling_mass"]
     ranks = ranks.localCheckpoint(eager=True)
+
+    def one_superstep(cur: DataFrame) -> DataFrame:
+        partials = cur.groupby("block").applyInPandas(spmv, _PARTIAL_SCHEMA)
+        if not fanout:
+            k2 = partials.filter(F.col("kind") == 2)
+            dm = (
+                k2.select(F.posexplode("vals").alias("qi", "v"))
+                .groupBy("qi")
+                .agg(F.sum("v").alias("v"))
+            )
+            arr = dm.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("qi", "v"))),
+                    lambda s: s["v"],
+                ).alias("vals")
+            )
+            bcast_rows = (
+                bg.vstate.select(F.col("block").alias("dblk"))
+                .crossJoin(F.broadcast(arr))
+                .select(
+                    "dblk",
+                    F.lit(2).alias("kind"),
+                    F.lit(-1).alias("src"),
+                    F.lit(None).cast("array<int>").alias("idx"),
+                    "vals",
+                )
+            )
+            partials = partials.filter(F.col("kind") != 2).unionByName(bcast_rows)
+        return (
+            partials.groupby("dblk")
+            .cogroup(runstate.groupby("block"))
+            .applyInPandas(combine, _OUT_SCHEMA)
+        )
 
     converged = False
     # the checkpoint backing the CURRENT ranks; superseded checkpoints are
     # freed deterministically (see lifecycle.free_local_checkpoint) — the
-    # loop holds at most TWO supersteps' blocks at any moment
+    # loop holds at most TWO chunks' blocks at any moment
     prev_ck: DataFrame | None = ranks
-    for step in range(start_step, max_iter):
+    step = start_step
+    while step < max_iter and not converged:
         t0 = time.time()
-        base_arr = np.array(
-            [(1.0 - damping) + damping * dangling_mass[q] for q in qids]
-        )
-        combine = _make_combine_kernel(base_arr, uniform_mask, n)
-        partials = ranks.groupby("block").applyInPandas(spmv, _PARTIAL_SCHEMA)
-        out = (
-            partials.groupby("dblk")
-            .cogroup(runstate.groupby("block"))
-            .applyInPandas(combine, _OUT_SCHEMA)
-        ).localCheckpoint(eager=False)
-        # the ONE action per superstep: materializes the packed vectors
-        # executor-side and pulls only the per-query metric arrays (O(P·Q)
-        # scalars — the (nq, n_b) rank matrices stay executor-side)
+        chunk = min(chunk_size, max_iter - step)
+        out = one_superstep(ranks)
+        for _ in range(chunk - 1):
+            out = one_superstep(out.select("block", "vals"))
+        out = out.localCheckpoint(eager=False)
+        # the chunk's ONE action
         mrows = out.select("block", "delta", "dmass", "mass", "nrows").collect()
 
         deltas = {q: 0.0 for q in qids}
@@ -387,15 +462,11 @@ def _ppr_blocked(
                 dangling_mass[q] += r["dmass"][qi]
         delta = max(deltas.values()) if deltas else 0.0
         converged = delta < tol
+        last = step + chunk - 1
         wall_ms = (time.time() - t0) * 1000
-        is_check = (
-            (step - start_step) % check_every == check_every - 1
-            or step == max_iter - 1
-            or converged
-        )
         meta = SuperstepCheckpoint(
             run_id=ckpt.run_id if ckpt else "in-memory",
-            superstep=step,
+            superstep=last,
             delta=delta,
             converged=converged,
             wall_ms=wall_ms,
@@ -422,7 +493,7 @@ def _ppr_blocked(
             },
         )
         new_ranks = out.select("block", "vals")
-        if ckpt is not None and is_check:
+        if ckpt is not None:
             new_ranks = ckpt.write(new_ranks, meta)  # parquet-backed copy
             free_local_checkpoint(out)
             cur_ck = None
@@ -431,18 +502,28 @@ def _ppr_blocked(
         free_local_checkpoint(prev_ck)
         prev_ck = cur_ck
         ranks = new_ranks
+        for s in range(step, last):  # interior steps: no individual metrics
+            lineage.append(
+                {
+                    "run_id": meta.run_id,
+                    "superstep": s,
+                    "delta": None,
+                    "converged": False,
+                    "wall_ms": wall_ms / chunk,
+                    "partitions": [],
+                }
+            )
         lineage.append(
             {
                 "run_id": meta.run_id,
-                "superstep": step,
+                "superstep": last,
                 "delta": delta,
                 "converged": converged,
-                "wall_ms": wall_ms,
+                "wall_ms": wall_ms / chunk,
                 "partitions": meta.partitions,
             }
         )
-        if converged:
-            break
+        step += chunk
 
     free_local_checkpoint(runstate)
     # the final superstep's blocks back the returned ranks — release them
@@ -1060,7 +1141,7 @@ def personalized_pagerank(
     run_id: str | None = None,
     graph: BlockGraph | None = None,
     salt_buckets: int = 16,
-    check_every: int = 1,
+    check_every: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run PPR to convergence; returns (ranks ``(id, value)``, lineage).
 
@@ -1127,7 +1208,7 @@ def personalized_pagerank_batch(
     graph: BlockGraph | None = None,
     checkpoint_dir: str | None = None,
     run_id: str | None = None,
-    check_every: int = 1,
+    check_every: int | None = None,
     engine: str = "csr",
     num_partitions: int | None = None,
     weight_dtype: str = "float64",
@@ -1147,7 +1228,7 @@ def personalized_pagerank_batch(
     if engine == "dataframe":
         return _ppr_dataframe_batch(
             spark, adj, strength_df, vertex_ids, n, reset_df, damping, tol,
-            max_iter, check_every,
+            max_iter, check_every or 1,
         )
     if engine == "broadcast" and checkpoint_dir is None:
         coo = graph_coo

@@ -206,6 +206,7 @@ def compile_blocks(
         n_dangling += r["nd"]
 
     spill_dir = _spill_blocks(subblocks)
+    _spill_dangling(vstate, spill_dir)
 
     return BlockGraph(
         num_blocks=P,
@@ -267,6 +268,26 @@ def _spill_blocks(subblocks: DataFrame) -> str:
         write_block, "block int, nedges long"
     ).collect()
     return spill_dir
+
+
+def _spill_dangling(vstate: DataFrame, spill_dir: str) -> None:
+    """Write each block's dangling local indices as ``blk{b}.dang.npy``
+    next to the edge arrays. The SpMV kernel needs them to compute the
+    block's dangling rank mass IN the dataflow (kind=2 partial rows), which
+    is what lets supersteps chain into one Spark job with no per-step
+    driver synchronization (see ``algo.ppr._ppr_blocked``). Written even
+    for blocks with no out-edges — they still hold dangling mass."""
+
+    def write_d(pdf: pd.DataFrame) -> pd.DataFrame:
+        blk = int(pdf["block"].iloc[0])
+        dang = np.asarray(pdf["dang"].iloc[0], dtype=np.int32)
+        tmp = f"{spill_dir}/.blk{blk}.dang.npy.tmp"
+        with open(tmp, "wb") as fh:
+            np.save(fh, dang)
+        os.replace(tmp, f"{spill_dir}/blk{blk}.dang.npy")
+        return pd.DataFrame({"block": [blk]})
+
+    vstate.groupBy("block").applyInPandas(write_d, "block int").collect()
 
 
 RUNSTATE_SCHEMA = (

@@ -141,8 +141,12 @@ def test_ppr_on_synth_kg(spark, tiny_files):
     reset[ids[0]], reset[ids[1]] = 0.8, 0.2
     want = ppr_reference(n, und, reset, 0.5)
     assert np.allclose(got, want, atol=1e-6)
-    # per-partition lineage recorded each superstep
-    assert all(len(l["partitions"]) >= 1 for l in lineage)
+    # per-partition lineage recorded at every sync superstep (in-memory
+    # runs chunk supersteps into one job; interior steps carry no metrics —
+    # durable runs default to chunk=1, see test_checkpoint_resume)
+    synced = [l for l in lineage if l["delta"] is not None]
+    assert synced and all(len(l["partitions"]) >= 1 for l in synced)
+    assert lineage[-1]["partitions"]
 
 
 def test_connected_components_exact(spark):

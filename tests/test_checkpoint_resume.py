@@ -34,9 +34,13 @@ def test_ppr_kill_and_resume(spark, tmp_path):
     reset_df = spark.createDataFrame([(1, 0.5), (7, 0.5)], "id long, weight double")
     ckdir = str(tmp_path / "ck")
 
-    # uninterrupted reference run (no checkpointing)
+    # uninterrupted reference run (no checkpointing; check_every=1 to match
+    # the durable run's per-superstep convergence cadence bit-for-bit —
+    # chunked in-memory runs may legitimately overshoot convergence by up
+    # to chunk-1 supersteps)
     full, full_lineage = personalized_pagerank(
-        spark, adj, st, vids, n_vertices=n, reset_df=reset_df, num_blocks=4
+        spark, adj, st, vids, n_vertices=n, reset_df=reset_df, num_blocks=4,
+        check_every=1,
     )
     want = _to_np(full, n)
 
