@@ -149,21 +149,9 @@ _BLOCK_MMAP_CACHE: dict = {}
 
 # worker-side scratch buffers reused across supersteps, keyed by
 # (spill_dir, role): kernels run every superstep on identically-shaped
-# data, so allocating multi-10MB temporaries per call is pure churn — and
-# on this virtualized box, fresh large allocations intermittently stall
-# 10-100× on first touch (host-side fault latency; guest minor-fault count
-# identical between fast and slow calls). Steady-state supersteps must
-# therefore touch only preallocated, already-resident memory.
-_SCRATCH: dict = {}
-
-
-def _scratch(key: tuple, shape: tuple, dtype=np.float64) -> np.ndarray:
-    buf = _SCRATCH.get(key)
-    need = int(np.prod(shape))
-    if buf is None or buf.size < need or buf.dtype != np.dtype(dtype):
-        buf = np.empty(need, dtype=dtype)
-        _SCRATCH[key] = buf
-    return buf[:need].reshape(shape)
+# data — see nputil.scratch for why fresh large allocations are poison on
+# this host. Shared with the blocked-KNN kernel (retrieval/knn.py).
+from ..nputil import scratch as _scratch  # noqa: E402
 
 
 def _load_block(spill_dir: str, blk: int):
@@ -235,7 +223,7 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, num_blocks: int):
             dblks, eoff, uoff = g["dblks"], g["eoff"], g["uoff"]
             max_e = int(np.diff(eoff).max()) if len(dblks) else 0
             # per-query gather buffer: edge-sized, reused across dst blocks,
-            # queries, and supersteps (see _SCRATCH) — the working set per
+            # queries, and supersteps (see nputil.scratch) — the working set per
             # bincount pass is one (n_edges_j,) stream, never (nq, n_edges)
             ebuf = _scratch((spill_dir, "spmv_e"), (max(1, max_e),))
             for j in range(len(dblks)):

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..keys import entity_key
+from ..nputil import scratch as _scratch
 
 SYNONYMY_THRESHOLD = 0.8  # config_utils.py:160-163
 SYNONYMY_TOPK = 2047  # config_utils.py:148-151
@@ -67,10 +68,21 @@ def knn(
     def block_topk(q_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(q_pdf) == 0 or len(i_pdf) == 0:
             return pd.DataFrame({"qkey": [], "ikey": [], "score": []})
+        nq, ni = len(q_pdf), len(i_pdf)
+        d = len(i_pdf["iemb"].iloc[0])
         # float64 accumulation: scores must agree with engine-independent
-        # double-precision oracles at 1e-6 rounding
-        Q = np.array(q_pdf["qemb"].tolist(), dtype=np.float64)  # (nq, d)
-        I = np.array(i_pdf["iemb"].tolist(), dtype=np.float64)  # (ni, d)
+        # double-precision oracles at 1e-6 rounding. All large temporaries
+        # (Q, Iᵀ, the score chunk) live in reusable worker scratch buffers
+        # (nputil.scratch): the kernel's fresh per-call allocations were
+        # ~200MB of mmap'd first-touch pages, the exact pattern this host
+        # intermittently stalls 10-100× (measured: the same bench KNN
+        # swings 14s ↔ 131s run-to-run before this change).
+        Q = _scratch(("knn_q",), (nq, d))
+        for i, a in enumerate(q_pdf["qemb"].values):
+            Q[i] = a
+        IT = _scratch(("knn_it",), (d, ni))
+        for i, a in enumerate(i_pdf["iemb"].values):
+            IT[:, i] = a
         qkeys = q_pdf["qkey"].to_numpy()
         ikeys = i_pdf["ikey"].to_numpy()
         # self-exclusion happens AFTER the per-chunk top-k by taking k+1
@@ -78,20 +90,32 @@ def knn(
         # compares and dominated the kernel ~10× over the matmul in
         # profiling
         take = k + 1 if exclude_self else k
+        kk = min(take, ni)
         # chunk the query axis: bounds the score matrix to chunk×ni
         # (exactly the reference's blocked two-level top-k,
-        # embed_utils.py:36-75 — batch_size there, chunk here)
-        chunk = max(1, int(16_000_000 / max(1, len(ikeys))))
+        # embed_utils.py:36-75 — batch_size there, chunk here). ~250k
+        # elements ≈ 2MB keeps argpartition's index output (the one
+        # temporary NumPy cannot write into a caller buffer) far below the
+        # host's large-allocation stall threshold.
+        chunk = max(1, int(250_000 / max(1, ni)))
+        S = _scratch(("knn_s",), (chunk, ni))
         outs = []
-        for s in range(0, len(qkeys), chunk):
-            S = Q[s : s + chunk] @ I.T
-            kk = min(take, S.shape[1])
-            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(S.shape[0]), kk)
+        for s in range(0, nq, chunk):
+            m = min(chunk, nq - s)
+            Sm = S[:m]
+            np.matmul(Q[s : s + m], IT, out=Sm)
+            # top-kk = the kk LARGEST: partition at ni-kk and keep the tail
+            # (avoids materializing -S)
+            idx = (
+                np.argpartition(Sm, ni - kk, axis=1)[:, ni - kk :]
+                if kk < ni
+                else np.broadcast_to(np.arange(ni), (m, ni))
+            )
+            rows = np.repeat(np.arange(m), idx.shape[1])
             cols = idx.ravel()
-            qk = qkeys[s : s + chunk][rows]
+            qk = qkeys[s : s + m][rows]
             ik = ikeys[cols]
-            scores = S[rows, cols]
+            scores = Sm[rows, cols]
             if exclude_self:
                 keep = qk != ik  # chunk·(k+1) compares, not chunk·ni
                 qk, ik, scores = qk[keep], ik[keep], scores[keep]
