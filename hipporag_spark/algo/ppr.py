@@ -427,91 +427,99 @@ def _ppr_blocked(
         )
 
     converged = False
-    # the checkpoint backing the CURRENT ranks; superseded checkpoints are
-    # freed deterministically (see lifecycle.free_local_checkpoint) — the
-    # loop holds at most TWO chunks' blocks at any moment
+    # scope shuffle partitions to the block count for the superstep loop:
+    # every exchange here keys on block/dblk (≤ P distinct values), so the
+    # session-wide setting (= core count) schedules (cores − P) provably
+    # EMPTY tasks per stage — 8 stages per chained job. At sf0.1 (P=1) that
+    # was 31 empty tasks × 8 stages × 5 jobs of pure scheduling latency.
+    # On a cluster P ≫ cores and this is a no-op.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
     prev_ck: DataFrame | None = ranks
     step = start_step
-    while step < max_iter and not converged:
-        t0 = time.time()
-        chunk = min(chunk_size, max_iter - step)
-        out = one_superstep(ranks)
-        for _ in range(chunk - 1):
-            out = one_superstep(out.select("block", "vals"))
-        out = out.localCheckpoint(eager=False)
-        # the chunk's ONE action
-        mrows = out.select("block", "delta", "dmass", "mass", "nrows").collect()
+    try:
+        while step < max_iter and not converged:
+            t0 = time.time()
+            chunk = min(chunk_size, max_iter - step)
+            out = one_superstep(ranks)
+            for _ in range(chunk - 1):
+                out = one_superstep(out.select("block", "vals"))
+            out = out.localCheckpoint(eager=False)
+            # the chunk's ONE action
+            mrows = out.select("block", "delta", "dmass", "mass", "nrows").collect()
 
-        deltas = {q: 0.0 for q in qids}
-        dangling_mass = {q: 0.0 for q in qids}
-        for r in mrows:
-            for qi, q in enumerate(qids):
-                deltas[q] += r["delta"][qi]
-                dangling_mass[q] += r["dmass"][qi]
-        delta = max(deltas.values()) if deltas else 0.0
-        converged = delta < tol
-        last = step + chunk - 1
-        wall_ms = (time.time() - t0) * 1000
-        meta = SuperstepCheckpoint(
-            run_id=ckpt.run_id if ckpt else "in-memory",
-            superstep=last,
-            delta=delta,
-            converged=converged,
-            wall_ms=wall_ms,
-            partitions=[
-                {
-                    "query_id": q,
-                    "block": r["block"],
-                    "rows": r["nrows"],
-                    "delta": r["delta"][qi],
-                    "mass": r["mass"][qi],
-                }
-                for r in mrows
-                for qi, q in enumerate(qids)
-            ],
-            extra={
-                "engine": "blocked-csr",
-                "damping": damping,
-                "n_vertices": n,
-                "num_blocks": P,
-                "n_queries": len(qids),
-                "qids": qids,
-                "dangling_mass": dangling_mass,
-                "per_query_delta": deltas,
-            },
-        )
-        new_ranks = out.select("block", "vals")
-        if ckpt is not None:
-            new_ranks = ckpt.write(new_ranks, meta)  # parquet-backed copy
-            free_local_checkpoint(out)
-            cur_ck = None
-        else:
-            cur_ck = out
-        free_local_checkpoint(prev_ck)
-        prev_ck = cur_ck
-        ranks = new_ranks
-        for s in range(step, last):  # interior steps: no individual metrics
+            deltas = {q: 0.0 for q in qids}
+            dangling_mass = {q: 0.0 for q in qids}
+            for r in mrows:
+                for qi, q in enumerate(qids):
+                    deltas[q] += r["delta"][qi]
+                    dangling_mass[q] += r["dmass"][qi]
+            delta = max(deltas.values()) if deltas else 0.0
+            converged = delta < tol
+            last = step + chunk - 1
+            wall_ms = (time.time() - t0) * 1000
+            meta = SuperstepCheckpoint(
+                run_id=ckpt.run_id if ckpt else "in-memory",
+                superstep=last,
+                delta=delta,
+                converged=converged,
+                wall_ms=wall_ms,
+                partitions=[
+                    {
+                        "query_id": q,
+                        "block": r["block"],
+                        "rows": r["nrows"],
+                        "delta": r["delta"][qi],
+                        "mass": r["mass"][qi],
+                    }
+                    for r in mrows
+                    for qi, q in enumerate(qids)
+                ],
+                extra={
+                    "engine": "blocked-csr",
+                    "damping": damping,
+                    "n_vertices": n,
+                    "num_blocks": P,
+                    "n_queries": len(qids),
+                    "qids": qids,
+                    "dangling_mass": dangling_mass,
+                    "per_query_delta": deltas,
+                },
+            )
+            new_ranks = out.select("block", "vals")
+            if ckpt is not None:
+                new_ranks = ckpt.write(new_ranks, meta)  # parquet-backed copy
+                free_local_checkpoint(out)
+                cur_ck = None
+            else:
+                cur_ck = out
+            free_local_checkpoint(prev_ck)
+            prev_ck = cur_ck
+            ranks = new_ranks
+            for s in range(step, last):  # interior steps: no individual metrics
+                lineage.append(
+                    {
+                        "run_id": meta.run_id,
+                        "superstep": s,
+                        "delta": None,
+                        "converged": False,
+                        "wall_ms": wall_ms / chunk,
+                        "partitions": [],
+                    }
+                )
             lineage.append(
                 {
                     "run_id": meta.run_id,
-                    "superstep": s,
-                    "delta": None,
-                    "converged": False,
+                    "superstep": last,
+                    "delta": delta,
+                    "converged": converged,
                     "wall_ms": wall_ms / chunk,
-                    "partitions": [],
+                    "partitions": meta.partitions,
                 }
             )
-        lineage.append(
-            {
-                "run_id": meta.run_id,
-                "superstep": last,
-                "delta": delta,
-                "converged": converged,
-                "wall_ms": wall_ms / chunk,
-                "partitions": meta.partitions,
-            }
-        )
-        step += chunk
+            step += chunk
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     free_local_checkpoint(runstate)
     # the final superstep's blocks back the returned ranks — release them

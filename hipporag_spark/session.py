@@ -67,6 +67,13 @@ def get_spark(
         # writes, so RAM-backed dirs are the representative stand-in
         .config("spark.local.dir", _local_dir())
     )
+    # NOTE (negative result, measured): -Xms$MEM -XX:+AlwaysPreTouch was
+    # tried here to absorb this host's intermittent 10-100× first-touch
+    # stalls at session startup. It made things WORSE: every pre-touch run
+    # (12g/24g/48g) degraded the first ~4 minutes of queries 3-9×
+    # (graph_build 19s → 139-178s) while a same-window control without it
+    # was clean — consistent with the hypervisor KSM-merging the freshly
+    # zeroed heap and re-breaking the pages under load. Don't re-add it.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
