@@ -204,3 +204,23 @@ def test_triangle_count_exact(spark):
     for i in range(n):
         assert got.get(i, 0) == want[i]
     assert total == sum(want.values()) // 3
+
+
+def test_blocked_ppr_restores_shuffle_partitions(spark):
+    """The blocked engine scopes spark.sql.shuffle.partitions to the block
+    count for its superstep loop; the session setting must be restored
+    after the run (and the result still match the oracle)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    n, m, seed = 30, 120, 23
+    edges = random_multigraph(n, m, seed)
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[1] = 1.0
+    reset_df = spark.createDataFrame([(1, 1.0)], "id long, weight double")
+    ranks, _ = personalized_pagerank(
+        spark, adj, st, vids, n_vertices=n, reset_df=reset_df,
+        damping=0.5, engine="csr", num_blocks=3,
+    )
+    got = spark_ranks_to_np(ranks, n)
+    assert np.allclose(got, ppr_reference(n, edges, reset, 0.5), atol=1e-6)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
