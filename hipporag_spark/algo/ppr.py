@@ -435,6 +435,12 @@ def _ppr_blocked(
     # On a cluster P ≫ cores and this is a no-op.
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    # AQE has nothing to improve here — every exchange is already P-wide
+    # and data-sized — but re-plans each chained chunk at runtime, which
+    # profiling shows adds ~40% to the loop (scripts/ppr_profile.py:
+    # 41.3s with AQE vs 29.0s without on the identical run)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     prev_ck: DataFrame | None = ranks
     step = start_step
     try:
@@ -520,6 +526,7 @@ def _ppr_blocked(
             step += chunk
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     free_local_checkpoint(runstate)
     # the final superstep's blocks back the returned ranks — release them

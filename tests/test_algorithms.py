@@ -211,6 +211,7 @@ def test_blocked_ppr_restores_shuffle_partitions(spark):
     count for its superstep loop; the session setting must be restored
     after the run (and the result still match the oracle)."""
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     n, m, seed = 30, 120, 23
     edges = random_multigraph(n, m, seed)
     adj, st, vids = make_graph(spark, n, edges)
@@ -224,3 +225,4 @@ def test_blocked_ppr_restores_shuffle_partitions(spark):
     got = spark_ranks_to_np(ranks, n)
     assert np.allclose(got, ppr_reference(n, edges, reset, 0.5), atol=1e-6)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
