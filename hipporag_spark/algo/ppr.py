@@ -303,6 +303,70 @@ def _make_combine_kernel(damping: float, nq: int, uniform_mask: np.ndarray, n: i
     return kernel
 
 
+def _make_fused_kernel(
+    damping: float, nq: int, spill_dir: str, uniform_mask: np.ndarray, n: int
+):
+    """Single-block fast path (P == 1, the small-graph regime of the
+    shuffle engine): SpMV + teleport + L1-delta in ONE cogrouped kernel.
+    Valid because with one block every edge is block-local — the
+    cross-block exchange the general path shuffles partials through is
+    provably empty — so a superstep needs one pandas stage instead of two,
+    halving both the fixed stage cost and the Arrow traffic (the packed
+    rank row otherwise crosses the Python boundary twice per step). Math
+    is identical to _make_spmv_kernel + _make_combine_kernel."""
+
+    def kernel(r_pdf: pd.DataFrame, rs_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["block", "vals", "delta", "dmass", "mass", "nrows"]
+        if len(rs_pdf) == 0 or len(r_pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        rs = rs_pdf.iloc[0]
+        blk = int(rs["block"])
+        n_b = len(rs["ids"])
+        old = np.asarray(r_pdf["vals"].iloc[0], dtype=np.float64).reshape(nq, n_b)
+        dang = np.asarray(rs["dang"], dtype=np.int64)
+        dmass_old = old[:, dang].sum(axis=1) if len(dang) else np.zeros(nq)
+        base_arr = (1.0 - damping) + damping * dmass_old
+        new = _scratch(("fused", blk), (nq, n_b))
+        new.fill(0.0)
+        if uniform_mask.any():
+            new[uniform_mask, :] = (base_arr[uniform_mask] / n)[:, None]
+        for qi, ix, rv in zip(rs["qidx"], rs["ridx"], rs["rval"]):
+            qi = int(qi)
+            new[qi, np.asarray(ix, dtype=np.int64)] = base_arr[qi] * np.asarray(
+                rv, dtype=np.float64
+            )
+        g = _load_block(spill_dir, blk)
+        if g is not None:
+            eoff, uoff = g["eoff"], g["uoff"]
+            max_e = int(np.diff(eoff).max()) if len(g["dblks"]) else 0
+            ebuf = _scratch((spill_dir, "spmv_e"), (max(1, max_e),))
+            for j in range(len(g["dblks"])):
+                a, b = int(eoff[j]), int(eoff[j + 1])
+                ua, ub = int(uoff[j]), int(uoff[j + 1])
+                src_idx = np.asarray(g["src_idx"][a:b], dtype=np.int64)
+                w = np.asarray(g["w"][a:b])
+                inv = np.asarray(g["inv"][a:b], dtype=np.int64)
+                uniq = np.asarray(g["uniq"][ua:ub], dtype=np.int64)
+                eb = ebuf[: b - a]
+                for q in range(nq):
+                    np.take(old[q], src_idx, out=eb)
+                    np.multiply(eb, w, out=eb)
+                    new[q, uniq] += damping * np.bincount(
+                        inv, weights=eb, minlength=ub - ua
+                    )
+        diff = _scratch(("fused_diff", blk), (nq, n_b))
+        np.subtract(new, old, out=diff)
+        np.abs(diff, out=diff)
+        delta = diff.sum(axis=1)
+        dmass = new[:, dang].sum(axis=1) if len(dang) else np.zeros(nq)
+        mass = new.sum(axis=1)
+        return pd.DataFrame(
+            [(blk, new.ravel(), delta, dmass, mass, n_b)], columns=cols
+        )
+
+    return kernel
+
+
 def _unpack_ranks(
     ranks_packed: DataFrame, vstate: DataFrame, qids: list[str]
 ) -> DataFrame:
@@ -366,6 +430,11 @@ def _ppr_blocked(
     fanout = P <= _K2_FANOUT_MAX
     spmv = _make_spmv_kernel(damping, nq, bg.spill_dir, P if fanout else 0)
     combine = _make_combine_kernel(damping, nq, uniform_mask, n)
+    fused = (
+        _make_fused_kernel(damping, nq, bg.spill_dir, uniform_mask, n)
+        if P == 1
+        else None
+    )
 
     ranks = bg.vstate.select(
         "block",
@@ -394,6 +463,12 @@ def _ppr_blocked(
     ranks = ranks.localCheckpoint(eager=True)
 
     def one_superstep(cur: DataFrame) -> DataFrame:
+        if fused is not None:
+            return (
+                cur.groupby("block")
+                .cogroup(runstate.groupby("block"))
+                .applyInPandas(fused, _OUT_SCHEMA)
+            )
         partials = cur.groupby("block").applyInPandas(spmv, _PARTIAL_SCHEMA)
         if not fanout:
             k2 = partials.filter(F.col("kind") == 2)

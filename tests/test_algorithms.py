@@ -32,8 +32,12 @@ def spark_ranks_to_np(ranks, n):
     return out
 
 
-@pytest.mark.parametrize("engine", ["csr", "dataframe"])
-def test_ppr_random_graph_vs_reference(spark, engine):
+@pytest.mark.parametrize(
+    "engine,num_blocks",
+    # csr × num_blocks=1 exercises the fused single-block kernel
+    [("csr", 4), ("csr", 1), ("dataframe", 4)],
+)
+def test_ppr_random_graph_vs_reference(spark, engine, num_blocks):
     n, m, seed = 60, 300, 7
     edges = random_multigraph(n, m, seed)
     adj, st, vids = make_graph(spark, n, edges)
@@ -44,7 +48,7 @@ def test_ppr_random_graph_vs_reference(spark, engine):
     )
     ranks, lineage = personalized_pagerank(
         spark, adj, st, vids, n_vertices=n, reset_df=reset_df,
-        damping=0.5, engine=engine, num_blocks=4,
+        damping=0.5, engine=engine, num_blocks=num_blocks,
     )
     got = spark_ranks_to_np(ranks, n)
     want = ppr_reference(n, edges, reset, 0.5)

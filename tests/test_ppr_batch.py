@@ -11,9 +11,16 @@ from oracles import ppr_reference, random_multigraph
 
 
 @pytest.mark.parametrize(
-    "engine,check_every", [("csr", 1), ("dataframe", 3), ("broadcast", 1)]
+    "engine,check_every,num_blocks",
+    [
+        ("csr", 1, 4),
+        # num_blocks=1 exercises the fused single-block kernel, chained
+        ("csr", 4, 1),
+        ("dataframe", 3, 4),
+        ("broadcast", 1, 4),
+    ],
 )
-def test_batch_matches_single_and_oracle(spark, engine, check_every):
+def test_batch_matches_single_and_oracle(spark, engine, check_every, num_blocks):
     n, m = 50, 220
     edges = random_multigraph(n, m, seed=19)
     e = spark.createDataFrame(edges, "src long, dst long, weight double")
@@ -31,7 +38,7 @@ def test_batch_matches_single_and_oracle(spark, engine, check_every):
     reset_df = spark.createDataFrame(rows, "query_id string, id long, weight double")
 
     ranks, lineage = personalized_pagerank_batch(
-        spark, adj, st, vids, reset_df, n_vertices=n, num_blocks=4,
+        spark, adj, st, vids, reset_df, n_vertices=n, num_blocks=num_blocks,
         engine=engine, check_every=check_every,
     )
     got = {q: np.zeros(n) for q in resets}
