@@ -44,7 +44,6 @@ resumes from the latest complete superstep bit-for-bit.
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 import uuid
 
@@ -151,7 +150,7 @@ _BLOCK_MMAP_CACHE: dict = {}
 # (spill_dir, role): kernels run every superstep on identically-shaped
 # data — see nputil.scratch for why fresh large allocations are poison on
 # this host. Shared with the blocked-KNN kernel (retrieval/knn.py).
-from ..nputil import scratch as _scratch  # noqa: E402
+from ..nputil import make_spill_dir, scratch as _scratch  # noqa: E402
 
 
 def _load_block(spill_dir: str, blk: int):
@@ -632,20 +631,8 @@ _PREV_BATCH_OUT: list = []
 
 _COO_ARRAYS = ("src", "w", "inv_strength", "uniq_dst", "rel_seg", "edge_lo", "seg_lo", "dang", "ids")
 
-# auto-created /dev/shm spill dirs are driver-owned: without cleanup they
-# outlive the process and starve the box's shared memory across sessions
-_SPILL_DIRS: list = []
-
-
-def _register_spill_dir(path: str) -> None:
-    if not _SPILL_DIRS:
-        import atexit
-        import shutil
-
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SPILL_DIRS]
-        )
-    _SPILL_DIRS.append(path)
+# spill-dir lifecycle (atexit removal + dead-owner orphan sweep) lives in
+# nputil.make_spill_dir
 
 
 def _resolve_coo(g: dict) -> dict:
@@ -772,12 +759,8 @@ def collect_graph_coo(
     }
     if mmap_dir == "auto":
         mmap_dir = (
-            tempfile.mkdtemp(prefix="hipporag_coo_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
-            if len(src) >= 2_000_000
-            else None
+            make_spill_dir("hipporag_coo_") if len(src) >= 2_000_000 else None
         )
-        if mmap_dir:
-            _register_spill_dir(mmap_dir)
     if mmap_dir:
         out = _spill_coo(out, mmap_dir)
     return out

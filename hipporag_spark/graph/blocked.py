@@ -30,7 +30,6 @@ per-task memory stays bounded by the block size, never the graph size.
 from __future__ import annotations
 
 import os
-import tempfile
 from dataclasses import dataclass
 
 import numpy as np
@@ -38,24 +37,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..nputil import make_spill_dir
 from .csr import block_of
 
 EDGES_PER_BLOCK = 250_000
 
-# driver-owned spill dirs for compiled block arrays (see _spill_blocks);
-# removed atexit so /dev/shm is not starved across sessions
-_SPILL_DIRS: list = []
-
-
-def _register_spill_dir(path: str) -> None:
-    if not _SPILL_DIRS:
-        import atexit
-        import shutil
-
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SPILL_DIRS]
-        )
-    _SPILL_DIRS.append(path)
+# spill-dir lifecycle (atexit removal + dead-owner orphan sweep) lives in
+# nputil.make_spill_dir
 
 
 # the concatenated per-src-block arrays written by _spill_blocks and mapped
@@ -228,10 +216,7 @@ def _spill_blocks(subblocks: DataFrame) -> str:
     ``eoff[j]:eoff[j+1]`` of ``src_idx``/``w``/``inv`` belong to it, and its
     distinct local dst indices are ``uniq[uoff[j]:uoff[j+1]]`` (``inv`` is
     relative to that slice). Blocks with no out-edges write no file."""
-    spill_dir = tempfile.mkdtemp(
-        prefix="hipporag_blocks_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
-    )
-    _register_spill_dir(spill_dir)
+    spill_dir = make_spill_dir("hipporag_blocks_")
 
     def write_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("dblk", kind="mergesort")

@@ -15,9 +15,52 @@ when a larger shape is requested and sliced down otherwise.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 import numpy as np
 
 _SCRATCH: dict = {}
+
+# driver-owned spill dirs (compiled graph blocks, broadcast COO arrays);
+# removed atexit so RAM-backed /dev/shm is not starved across sessions
+_SPILL_DIRS: list = []
+
+
+def make_spill_dir(prefix: str) -> str:
+    """A temp dir for worker-mmap'd graph arrays, owner pid embedded in the
+    name. This process's dirs are removed atexit; dirs whose owner process
+    is gone are swept here — atexit never runs on SIGKILL, and
+    driver-terminated sessions otherwise starve the box's shared memory
+    across runs."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    _sweep_orphans(base, prefix)
+    path = tempfile.mkdtemp(prefix=f"{prefix}{os.getpid()}_", dir=base)
+    if not _SPILL_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SPILL_DIRS]
+        )
+    _SPILL_DIRS.append(path)
+    return path
+
+
+def _sweep_orphans(base: str, prefix: str) -> None:
+    if not os.path.isdir("/proc"):  # liveness check is /proc-based
+        return
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        pid_part = name[len(prefix):].split("_", 1)[0]
+        # dirs from the pre-pid naming scheme can't be liveness-checked;
+        # leave them to their own atexit
+        if pid_part.isdigit() and not os.path.exists(f"/proc/{pid_part}"):
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
 
 
 def scratch(key: tuple, shape: tuple, dtype=np.float64) -> np.ndarray:
