@@ -82,7 +82,11 @@ def connected_components(
                 new_labels.join(parent, new_labels.component == parent.pid, "left_outer")
                 .select("id", F.coalesce(F.col("pcomp"), F.col("component")).alias("component"))
             )
-        new_labels = new_labels.persist()
+        # lazy checkpoint + metrics in the SAME action: the stats collect
+        # materializes the checkpoint blocks, so a superstep is exactly one
+        # Spark action (the eager-checkpoint + separate-metrics version ran
+        # two, re-executing the plan)
+        new_labels = new_labels.localCheckpoint(eager=False)
 
         stats = (
             labels.select("id", F.col("component").alias("old"))
@@ -112,11 +116,10 @@ def connected_components(
         )
         old = labels
         if ckpt is not None:
-            labels = ckpt.write(new_labels, meta)
-            new_labels.unpersist()
+            labels = ckpt.write(new_labels, meta)  # parquet-backed copy
+            free_local_checkpoint(new_labels)
         else:
-            labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-            new_labels.unpersist()
+            labels = new_labels
         old.unpersist()
         free_local_checkpoint(old)
         lineage.append(

@@ -73,7 +73,9 @@ def label_propagation(
         new_labels = (
             labels.join(best, "id", "left_outer")
             .select("id", F.coalesce(F.col("winner"), F.col("label")).alias("label"))
-            .persist()
+            # lazy checkpoint + metrics in the SAME action (one Spark
+            # action per superstep; see components.py)
+            .localCheckpoint(eager=False)
         )
 
         stats = (
@@ -104,11 +106,10 @@ def label_propagation(
         )
         old = labels
         if ckpt is not None:
-            labels = ckpt.write(new_labels, meta)
-            new_labels.unpersist()
+            labels = ckpt.write(new_labels, meta)  # parquet-backed copy
+            free_local_checkpoint(new_labels)
         else:
-            labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-            new_labels.unpersist()
+            labels = new_labels
         old.unpersist()
         free_local_checkpoint(old)
         lineage.append(
