@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
+from ..fsio import spill_df
 from ..graph.blocked import BlockGraph, build_runstate, compile_blocks, default_num_blocks
 from ..graph.csr import block_of
 from ..lifecycle import free_local_checkpoint
@@ -120,11 +121,6 @@ _OUT_SCHEMA = (
     "block int, vals array<double>, delta array<double>, "
     "dmass array<double>, mass array<double>, nrows long"
 )
-# single-slot registry of the previous blocked run's final superstep
-# checkpoint (it backs the ranks that run returned; see _PREV_BATCH_OUT
-# below for the same pattern in the broadcast engine)
-_PREV_BLOCKED_CK: list = []
-
 # above this many blocks the SpMV kernel stops emitting P kind=2
 # (dangling-mass) rows per source block (P² total) and the loop switches
 # to a JVM aggregate + broadcast fan-out of the global sum
@@ -239,8 +235,14 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, num_blocks: int):
                     np.multiply(eb, w, out=eb)
                     sums[q] = np.bincount(inv, weights=eb, minlength=nu)
                 sums *= damping
+                # .copy(): ``sums`` is a view of a scratch buffer keyed by
+                # the dst-block INDEX j — two src-block groups in the same
+                # applyInPandas task share j keys, so emitting the view
+                # would rely on PySpark Arrow-converting each group's
+                # result before the next group's kernel call reuses the
+                # buffer (an undocumented serializer invariant)
                 rows.append(
-                    (int(dblks[j]), 1, blk, np.asarray(g["uniq"][ua:ub]), sums.ravel())
+                    (int(dblks[j]), 1, blk, np.asarray(g["uniq"][ua:ub]), sums.ravel().copy())
                 )
         return pd.DataFrame(
             rows, columns=["dblk", "kind", "src", "idx", "vals"]
@@ -295,6 +297,11 @@ def _make_combine_kernel(damping: float, nq: int, uniform_mask: np.ndarray, n: i
         delta = diff.sum(axis=1)
         dmass = new[:, dang].sum(axis=1) if len(dang) else np.zeros(nq)
         mass = new.sum(axis=1)
+        # new.ravel() is a scratch view, but its key includes the block id
+        # and groupby("dblk") hands each block to exactly ONE group per
+        # task; across tasks a worker fully serializes one task's results
+        # before the next starts — so no copy is needed here (unlike the
+        # SpMV kernel's per-dst-block buffers, which DO collide in-task)
         return pd.DataFrame(
             [(blk, new.ravel(), delta, dmass, mass, n_b)], columns=cols
         )
@@ -423,11 +430,13 @@ def _ppr_blocked(
     if bg.spill_dir is None:
         raise ValueError("BlockGraph has no spill_dir; recompile with compile_blocks")
     # P² kind=2 rows are cheap up to a few hundred blocks (the superstep's
-    # rank rows dominate); past that the kernel emits ONE row per block and
-    # a JVM-side aggregate + broadcast fans the global sum back out — same
-    # dataflow, one extra (tiny) stage, no driver barrier either way
+    # rank rows dominate); past that the kernel emits ONE kind=2 row per
+    # src block (num_blocks=1, NOT 0 — zero rows would both drop the
+    # dangling teleport mass and crash the combine on an empty aggregate)
+    # and a JVM-side aggregate + broadcast fans the global sum back out —
+    # same dataflow, one extra (tiny) stage, no driver barrier either way
     fanout = P <= _K2_FANOUT_MAX
-    spmv = _make_spmv_kernel(damping, nq, bg.spill_dir, P if fanout else 0)
+    spmv = _make_spmv_kernel(damping, nq, bg.spill_dir, P if fanout else 1)
     combine = _make_combine_kernel(damping, nq, uniform_mask, n)
     fused = (
         _make_fused_kernel(damping, nq, bg.spill_dir, uniform_mask, n)
@@ -603,12 +612,14 @@ def _ppr_blocked(
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     free_local_checkpoint(runstate)
-    # the final superstep's blocks back the returned ranks — release them
-    # on the NEXT blocked run instead of leaking per call
-    while _PREV_BLOCKED_CK:
-        free_local_checkpoint(_PREV_BLOCKED_CK.pop())
-    if prev_ck is not None:
-        _PREV_BLOCKED_CK.append(prev_ck)
+    if ckpt is None and prev_ck is not None:
+        # the final superstep's localCheckpoint blocks back the returned
+        # ranks: re-home the result to a parquet spill (valid regardless of
+        # later runs — see fsio.spill_df's retention contract) and free the
+        # blocks NOW, instead of round 2's deferred free that invalidated
+        # the PREVIOUS caller's still-lazy result on the next run
+        ranks = spill_df(ranks.select("block", "vals"), "hipporag_ranks_")
+        free_local_checkpoint(prev_ck)
     return ranks, lineage
 
 
@@ -620,14 +631,6 @@ def _ppr_blocked(
 # np.load(mmap_mode="r") per worker process, all workers sharing the same
 # physical page-cache pages
 _MMAP_CACHE: dict = {}
-
-# single-slot registry of the previous broadcast-batch result's persisted
-# packed DataFrame: the ranks a call returns derive from it (unpersisting
-# immediately would recompute the whole iteration on the caller's first
-# action), so the NEXT call releases it — long-lived sessions running many
-# retrievals/benchmark trials otherwise accumulate ~Q·V·8B of executor
-# storage per call (measured as steady trial-over-trial slowdown).
-_PREV_BATCH_OUT: list = []
 
 _COO_ARRAYS = ("src", "w", "inv_strength", "uniq_dst", "rel_seg", "edge_lo", "seg_lo", "dang", "ids")
 
@@ -899,21 +902,20 @@ def _ppr_broadcast_batch(
     # partitions < queries packs several queries per task; their lockstep
     # iteration then shares each edge-chunk read (see kernel)
     nparts = min(nq, num_partitions) if num_partitions else nq
-    while _PREV_BATCH_OUT:
-        try:
-            _PREV_BATCH_OUT.pop().unpersist()
-        except Exception:
-            pass
-    out = (
-        reset_df.repartitionByRange(nparts, "query_id")
-        .mapInPandas(
+    # spill, don't persist: the ONE job that writes the parquet runs all
+    # iterations; the re-read backs the returned ranks durably (a persisted
+    # frame unpersisted by a later run would silently RE-RUN the whole
+    # iteration — or fail outright once the graph broadcast is destroyed —
+    # on the previous caller's first action; round 2 leaked executor
+    # storage per call to avoid exactly that)
+    out = spill_df(
+        reset_df.repartitionByRange(nparts, "query_id").mapInPandas(
             run,
             "query_id string, ids array<long>, vals array<double>, "
             "iters int, delta double, conv boolean",
-        )
-        .persist()
+        ),
+        "hipporag_branks_",
     )
-    _PREV_BATCH_OUT.append(out)
     meta = out.select("query_id", "iters", "delta", "conv").collect()
     iters_q = {r["query_id"]: int(r["iters"]) for r in meta}
     delta_q = {r["query_id"]: r["delta"] for r in meta}
@@ -1209,6 +1211,11 @@ def personalized_pagerank(
     ``checkpoint_dir`` enables per-superstep durability + resume: if a prior
     run under the same ``run_id`` left complete supersteps, iteration
     continues from the latest one (csr engine).
+
+    Result lifetime: returned ranks are parquet-backed under the scratch
+    root (``fsio.spill_df``) and stay valid across at least the next
+    ``fsio.SPILL_KEEP - 1`` PPR runs; collect or persist results you need
+    to hold across more runs than that.
     """
     n = n_vertices if n_vertices is not None else vertex_ids.count()
     if n == 0:
@@ -1247,10 +1254,9 @@ def personalized_pagerank(
     )
     ranks = _unpack_ranks(ranks_packed, bg.vstate, qids).select("id", "value")
     if graph is None:
-        # ad-hoc graph: materialize the result BEFORE releasing the block
-        # tables it reads from (unpersist now really frees the blocks)
-        ranks = ranks.localCheckpoint(eager=True)
-        _PREV_BLOCKED_CK.append(ranks)
+        # ad-hoc graph: spill the unpacked result BEFORE releasing the
+        # block tables (vstate) the unpack join reads from
+        ranks = spill_df(ranks, "hipporag_ranks_")
         bg.unpersist()
     return ranks, lineage
 
@@ -1310,7 +1316,6 @@ def personalized_pagerank_batch(
     )
     ranks = _unpack_ranks(ranks_packed, bg.vstate, qids)
     if graph is None:
-        ranks = ranks.localCheckpoint(eager=True)
-        _PREV_BLOCKED_CK.append(ranks)
+        ranks = spill_df(ranks, "hipporag_ranks_")
         bg.unpersist()
     return ranks, lineage

@@ -13,20 +13,33 @@ Layout under ``<dir>/<run_id>/``:
                                  delta}], written LAST → atomicity marker}
 
 A superstep directory without a manifest is incomplete and ignored on
-resume (the manifest write is the commit point). The reference has only a
-whole-graph pickle (``HippoRAG.py:1088-1093``); per-superstep durability is
-this engine's addition per the north rule.
+resume (the manifest write is the commit point; the manifest itself lands
+via tmp-file + rename, the Hadoop-FS atomic primitive). ``base_dir`` may be
+ANY Hadoop-FS URI — ``hdfs://``, ``s3a://``, ``file://``, or a plain local
+path — because both the state (Spark parquet) and the manifests (fsio's
+JVM ``FileSystem`` helpers) route through the cluster's filesystem layer;
+nothing here touches driver-local ``os.*``, which is what makes resume work
+under ``spark-submit`` on a multi-executor cluster. The reference has only
+a whole-graph pickle (``HippoRAG.py:1088-1093``); per-superstep durability
+is this engine's addition per the north rule.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .fsio import (
+    fs_delete,
+    fs_exists,
+    fs_list_names,
+    fs_mkdirs,
+    fs_read_text,
+    fs_write_text,
+)
 
 
 @dataclass
@@ -41,22 +54,32 @@ class SuperstepCheckpoint:
 
 
 class CheckpointManager:
-    def __init__(self, base_dir: str, run_id: str):
-        self.base = os.path.join(base_dir, run_id)
+    def __init__(self, base_dir: str, run_id: str, spark: SparkSession | None = None):
+        self.base = f"{base_dir.rstrip('/')}/{run_id}"
         self.run_id = run_id
-        os.makedirs(self.base, exist_ok=True)
+        # lazily resolved: manifests are read/written from the driver, where
+        # an active session always exists by the time a superstep runs
+        self._spark = spark
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = SparkSession.getActiveSession()
+        return self._spark
 
     def _step_dir(self, superstep: int) -> str:
-        return os.path.join(self.base, f"superstep={superstep}")
+        return f"{self.base}/superstep={superstep}"
 
     def write(self, state: DataFrame, meta: SuperstepCheckpoint) -> DataFrame:
         """Write state + manifest; return the re-read (lineage-truncated) state."""
         d = self._step_dir(meta.superstep)
         t0 = time.time()
-        state.write.mode("overwrite").parquet(os.path.join(d, "state"))
+        state.write.mode("overwrite").parquet(f"{d}/state")
         meta.wall_ms += (time.time() - t0) * 1000
-        with open(os.path.join(d, "manifest.json"), "w") as f:
-            json.dump(
+        fs_write_text(
+            self.spark,
+            f"{d}/manifest.json",
+            json.dumps(
                 {
                     "run_id": meta.run_id,
                     "superstep": meta.superstep,
@@ -65,43 +88,41 @@ class CheckpointManager:
                     "wall_ms": meta.wall_ms,
                     "partitions": meta.partitions,
                     **meta.extra,
-                },
-                f,
-            )
-        return state.sparkSession.read.parquet(os.path.join(d, "state"))
+                }
+            ),
+        )
+        return state.sparkSession.read.parquet(f"{d}/state")
 
     def latest_complete(self) -> int | None:
         """Highest superstep K whose manifest exists (the resume point)."""
         best = None
-        if not os.path.isdir(self.base):
-            return None
-        for name in os.listdir(self.base):
+        for name in fs_list_names(self.spark, self.base):
             if not name.startswith("superstep="):
                 continue
             k = int(name.split("=", 1)[1])
-            if os.path.exists(os.path.join(self._step_dir(k), "manifest.json")):
+            if fs_exists(self.spark, f"{self._step_dir(k)}/manifest.json"):
                 best = k if best is None else max(best, k)
         return best
 
     def load(self, spark: SparkSession, superstep: int) -> tuple[DataFrame, dict]:
         d = self._step_dir(superstep)
-        with open(os.path.join(d, "manifest.json")) as f:
-            manifest = json.load(f)
-        return spark.read.parquet(os.path.join(d, "state")), manifest
+        manifest = json.loads(fs_read_text(spark, f"{d}/manifest.json"))
+        return spark.read.parquet(f"{d}/state"), manifest
 
     def lineage(self) -> list[dict]:
         """All manifests in superstep order — the run's lineage log."""
         out = []
-        k = 0
         latest = self.latest_complete()
         if latest is None:
             return out
         for k in range(latest + 1):
-            p = os.path.join(self._step_dir(k), "manifest.json")
-            if os.path.exists(p):
-                with open(p) as f:
-                    out.append(json.load(f))
+            p = f"{self._step_dir(k)}/manifest.json"
+            if fs_exists(self.spark, p):
+                out.append(json.loads(fs_read_text(self.spark, p)))
         return out
 
     def clear(self):
-        shutil.rmtree(self.base, ignore_errors=True)
+        fs_delete(self.spark, self.base, recursive=True)
+
+    def ensure_base(self) -> None:
+        fs_mkdirs(self.spark, self.base)

@@ -201,6 +201,272 @@ WHERE EXISTS (SELECT 1 FROM oriented o WHERE (o.u = e1.v AND o.v = e2.v)
 """
 
 
+# shared word-graph pieces: the word co-occurrence graph as (a, b) string
+# pairs (per-doc distinct adjacent-word triples, self-pairs dropped) — the
+# same graph the triangle/LP/CC driver queries and oracles run on
+
+
+def _word_pairs(ex: DataFrame) -> DataFrame:
+    return (
+        ex.select(F.explode("triples").alias("t"))
+        .select(F.col("t.s").alias("a"), F.col("t.o").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+
+
+def _word_graph_ids(spark, sf_dir):
+    """(pairs, ids): word pairs + dense ids minted by name rank ascending —
+    so id order ≡ lexicographic word order, which is what lets the DuckDB
+    oracles run the same algorithms directly on the STRINGS (min id ⇔ min
+    word; id-order tie-breaks ⇔ word-order tie-breaks)."""
+    from .graph.ids import assign_dense_ids
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    names = (
+        t.select(F.col("a").alias("name"))
+        .unionAll(t.select(F.col("b").alias("name")))
+        .distinct()
+    )
+    ids = assign_dense_ids(names, "name").persist()
+    e = (
+        t.join(ids.select(F.col("name").alias("a"), F.col("id").alias("src")), "a")
+        .join(ids.select(F.col("name").alias("b"), F.col("id").alias("dst")), "b")
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return e, ids
+
+
+# the oracle-side word-pair CTEs shared by the CC/LP oracles (same `trips`
+# derivation as SQL_TRIANGLES_WORDS)
+_WORD_GRAPH_CTES = """trips AS (
+  SELECT DISTINCT doc_id, s, o FROM (
+    SELECT doc_id, l[i] AS s, l[i+1] AS o
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+         LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+  ) WHERE length(s) > 0 AND length(o) > 0 AND s <> o
+)"""
+
+
+def q_cc_words(spark, sf_dir):
+    """Connected components of the GENERIC word graph (not a star forest:
+    VERDICT r2 asked for a driver oracle on a graph whose answer has no
+    closed form). Output is id-free: (word, component_word) with
+    component_word = lexicographically smallest word in the component."""
+    from .algo.components import connected_components
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    comp, _ = connected_components(spark, adjacency(e), ids.select("id"), num_blocks=8)
+    return (
+        comp.join(ids.select("id", F.col("name").alias("word")), "id")
+        .join(
+            ids.select(
+                F.col("id").alias("component"), F.col("name").alias("component_word")
+            ),
+            "component",
+        )
+        .select("word", "component_word")
+        .orderBy("word")
+    )
+
+
+def _cc_words_round(k: int) -> str:
+    """One min-label round + one pointer-jump shortcut (the same two moves
+    the Spark job makes per superstep, components.py) as two chained CTEs."""
+    p = f"c{k - 1}"
+    return f"""m{k} AS MATERIALIZED (
+  SELECT l.id, least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+  FROM {p} l
+  LEFT JOIN nbrs nb ON nb.a = l.id
+  LEFT JOIN {p} nl ON nl.id = nb.b
+  GROUP BY l.id
+), c{k} AS MATERIALIZED (
+  SELECT m.id, coalesce(p.lab, m.lab) AS lab
+  FROM m{k} m LEFT JOIN m{k} p ON p.id = m.lab
+)"""
+
+
+def _cc_words_sql(rounds: int = 12) -> str:
+    """Min-label propagation with pointer jumping, UNROLLED (the ppr_docs
+    oracle technique): reach at least doubles per round, so 12 rounds cover
+    component radii ≫ any small-world co-occurrence graph exhibits; extra
+    rounds past the fixed point are no-ops."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), c0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id, a AS lab FROM nbrs
+)"""
+    ctes = [head] + [_cc_words_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"\nSELECT id AS word, lab AS component_word FROM c{rounds} ORDER BY word"
+    )
+
+
+def q_label_prop_words(spark, sf_dir):
+    """Deterministic synchronous LPA (10 bounded rounds, labelprop.py pinned
+    semantics) on the word graph; output (word, label_word), id-free."""
+    from .algo.labelprop import label_propagation
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    labels, _ = label_propagation(
+        spark, adjacency(e), ids.select("id"), max_iter=10, num_blocks=8
+    )
+    return (
+        labels.join(ids.select("id", F.col("name").alias("word")), "id")
+        .join(
+            ids.select(F.col("id").alias("label"), F.col("name").alias("label_word")),
+            "label",
+        )
+        .select("word", "label_word")
+        .orderBy("word")
+    )
+
+
+def _lp_words_round(k: int) -> str:
+    """One LPA round: per-vertex neighbor-label weight sums, argmax by
+    (weight desc, label asc) via row_number — exactly labelprop.py's pinned
+    tie-break, which maps 1:1 onto strings because ids are name-ranked."""
+    p = f"l{k - 1}"
+    return f"""v{k} AS MATERIALIZED (
+  SELECT a.src AS id, l.lab AS lab, sum(a.w) AS w
+  FROM adjw a JOIN {p} l ON l.id = a.dst
+  GROUP BY a.src, l.lab
+), l{k} AS MATERIALIZED (
+  SELECT l.id, coalesce(b.lab, l.lab) AS lab
+  FROM {p} l LEFT JOIN (
+    SELECT id, lab FROM (
+      SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY w DESC, lab ASC) AS rn
+      FROM v{k}
+    ) WHERE rn = 1
+  ) b ON b.id = l.id
+)"""
+
+
+def _lp_words_sql(rounds: int = 10) -> str:
+    head = f"""WITH {_WORD_GRAPH_CTES}, adjw AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT s AS src, o AS dst FROM trips
+    UNION ALL SELECT o AS src, s AS dst FROM trips
+  ) GROUP BY src, dst
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, src AS lab FROM adjw
+)"""
+    ctes = [head] + [_lp_words_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"\nSELECT id AS word, lab AS label_word FROM l{rounds} ORDER BY word"
+    )
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    """Per-vertex triangle counts of the word graph (networkx.triangles
+    semantics: every triangle increments all three corners); only vertices
+    in ≥1 triangle appear."""
+    from .algo.triangles import triangle_count
+    from .graph.build import adjacency
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    staged = t.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    per_vertex, _ = triangle_count(adjacency(staged))
+    return per_vertex.select(F.col("id").alias("word"), "triangles").orderBy("word")
+
+
+SQL_TRIANGLES_PER_VERTEX = f"""
+WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT least(s, o) AS src, greatest(s, o) AS dst FROM trips
+), deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT src AS id FROM und UNION ALL SELECT dst AS id FROM und
+  ) GROUP BY id
+), oriented AS (
+  SELECT CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.src ELSE e.dst END AS u,
+         CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.dst ELSE e.src END AS v
+  FROM und e
+  JOIN deg ds ON ds.id = e.src
+  JOIN deg dd ON dd.id = e.dst
+), closed AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE (o.u = e1.v AND o.v = e2.v)
+                                            OR (o.u = e2.v AND o.v = e1.v))
+), corners AS (
+  SELECT a AS word FROM closed
+  UNION ALL SELECT b FROM closed
+  UNION ALL SELECT c FROM closed
+)
+SELECT word, count(*) AS triangles FROM corners GROUP BY word ORDER BY word
+"""
+
+
+def q_recall_at_k(spark, sf_dir):
+    """Recall@k (SURVEY §2.5) over a deterministic retrieval: brute-force
+    top-10 ANN per query with gold = {qid+1, qid+2, qid+50}."""
+    from .ops.evaluation import recall_at_k
+    from .ops.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(emb, queries, k=10)
+    results = topk.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("vec_id").cast("string").alias("chunk_id"),
+        "rank",
+    )
+    gold = queries.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.array(
+            (F.col("query_id") + 1).cast("string"),
+            (F.col("query_id") + 2).cast("string"),
+            (F.col("query_id") + 50).cast("string"),
+        ).alias("gold_chunk_ids"),
+    )
+    return recall_at_k(results, gold, ks=[1, 2, 5, 10])
+
+
+def _recall_sql() -> str:
+    per_k = ",\n  ".join(
+        f"round(avg(CAST(len(list_intersect(list_slice(retrieved, 1, {k}), gold)) AS DOUBLE)"
+        f" / len(gold)), 4) AS recall_at_{k}"
+        for k in [1, 2, 5, 10]
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
+         round(list_sum(list_transform(generate_series(1, 64),
+               p -> CAST(i.embedding[p] AS DOUBLE) * CAST(q.embedding[p] AS DOUBLE))), 6) AS score
+  FROM embeddings i
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+  WHERE i.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+), topk AS (
+  SELECT query_id, list(CAST(vec_id AS VARCHAR) ORDER BY rank) AS retrieved
+  FROM ranked WHERE rank <= 10 GROUP BY query_id
+), g AS (
+  SELECT query_id,
+         [CAST(query_id + 1 AS VARCHAR), CAST(query_id + 2 AS VARCHAR),
+          CAST(query_id + 50 AS VARCHAR)] AS gold
+  FROM (SELECT DISTINCT query_id FROM ranked)
+)
+SELECT
+  {per_k}
+FROM topk JOIN g USING (query_id)
+"""
+
+
 def q_ppr_docs(spark, sf_dir):
     """PPR over the doc-word bipartite graph, top-100 vertices.
 
@@ -785,8 +1051,12 @@ def all_queries() -> dict:
         "passage_edges": q_passage_edges,
         "fact_edges": q_fact_edges,
         "connected_components_star": q_cc_star,
+        "connected_components_words": q_cc_words,
+        "label_propagation_words": q_label_prop_words,
         "triangle_count_words": q_triangles_words,
+        "triangles_per_vertex": q_triangles_per_vertex,
         "ppr_docs": q_ppr_docs,
+        "recall_at_k": q_recall_at_k,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -812,8 +1082,12 @@ def all_oracles() -> dict:
         "passage_edges": SQL_PASSAGE_EDGES,
         "fact_edges": SQL_FACT_EDGES,
         "connected_components_star": SQL_CC_STAR,
+        "connected_components_words": _cc_words_sql(),
+        "label_propagation_words": _lp_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,
+        "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "ppr_docs": _ppr_docs_sql(),
+        "recall_at_k": _recall_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

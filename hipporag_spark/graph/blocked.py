@@ -88,9 +88,17 @@ class BlockGraph:
 
     def unpersist(self) -> None:
         from ..lifecycle import free_local_checkpoint
+        from ..nputil import release_spill_dir
 
         free_local_checkpoint(self.vstate)
         free_local_checkpoint(self.subblocks)
+        # the packed edge arrays too: re-index()/delete() in a long-lived
+        # session would otherwise leak a full RAM-backed spill dir per
+        # recompile until process atexit (round-2 ADVICE). Callers release
+        # a BlockGraph only once no run can still mmap it.
+        if self.spill_dir is not None:
+            release_spill_dir(self.spill_dir)
+            self.spill_dir = None
 
 
 def compile_blocks(

@@ -29,6 +29,15 @@ _SCRATCH: dict = {}
 _SPILL_DIRS: list = []
 
 
+def _register_spill_dir(path: str) -> None:
+    if not _SPILL_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SPILL_DIRS]
+        )
+    if path not in _SPILL_DIRS:
+        _SPILL_DIRS.append(path)
+
+
 def make_spill_dir(prefix: str) -> str:
     """A temp dir for worker-mmap'd graph arrays, owner pid embedded in the
     name. This process's dirs are removed atexit; dirs whose owner process
@@ -38,11 +47,7 @@ def make_spill_dir(prefix: str) -> str:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     _sweep_orphans(base, prefix)
     path = tempfile.mkdtemp(prefix=f"{prefix}{os.getpid()}_", dir=base)
-    if not _SPILL_DIRS:
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SPILL_DIRS]
-        )
-    _SPILL_DIRS.append(path)
+    _register_spill_dir(path)
     return path
 
 
@@ -61,6 +66,17 @@ def _sweep_orphans(base: str, prefix: str) -> None:
         # leave them to their own atexit
         if pid_part.isdigit() and not os.path.exists(f"/proc/{pid_part}"):
             shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+
+
+def release_spill_dir(path: str) -> None:
+    """Remove a spill dir eagerly (instead of at exit) and drop it from the
+    atexit registry — for owners whose lifecycle ends mid-session (e.g. a
+    recompiled BlockGraph)."""
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        _SPILL_DIRS.remove(path)
+    except ValueError:
+        pass
 
 
 def scratch(key: tuple, shape: tuple, dtype=np.float64) -> np.ndarray:

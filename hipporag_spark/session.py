@@ -18,14 +18,29 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# RAM-backed shuffle dirs are only safe while tmpfs has real headroom: a
+# large shuffle landing in a nearly-full /dev/shm fails jobs with ENOSPC
+# instead of spilling to disk. Below this much free space, fall back to disk.
+_SHM_MIN_FREE_BYTES = 8 << 30
+
+
 def _local_dir() -> str:
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override:
         return override
     if os.path.isdir("/dev/shm"):
-        path = "/dev/shm/spark_local"
-        os.makedirs(path, exist_ok=True)
-        return path
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+            # per-pid subdir: concurrent sessions must not share (or
+            # cross-delete) shuffle dirs; dead owners' dirs are swept like
+            # the numpy spill dirs (atexit never runs on SIGKILL)
+            from .nputil import _register_spill_dir, _sweep_orphans
+
+            _sweep_orphans("/dev/shm", "spark_local_")
+            path = f"/dev/shm/spark_local_{os.getpid()}_0"
+            os.makedirs(path, exist_ok=True)
+            _register_spill_dir(path)  # atexit removal on clean shutdown
+            return path
     return tempfile.gettempdir()
 
 
