@@ -673,9 +673,12 @@ ORDER BY doc_a, doc_b
 
 
 def q_simhash(spark, sf_dir):
+    """16-bit md5 variant: the one whose word hash exists bit-identically
+    in DuckDB (oracle parity). Production default is 64-bit xxhash64
+    (ops/dedup.py), covered by tests/test_ops.py."""
     from .ops.dedup import simhash
 
-    return simhash(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return simhash(load(spark, sf_dir, "documents"), bits=16).orderBy("doc_id")
 
 
 # hex16(s): first-4-hex-chars of md5 → int, via char-wise strpos (DuckDB has
@@ -710,7 +713,7 @@ def q_simhash_pairs(spark, sf_dir):
     from .ops.dedup import simhash, simhash_near_pairs
 
     return simhash_near_pairs(
-        simhash(load(spark, sf_dir, "documents")), max_hamming=3
+        simhash(load(spark, sf_dir, "documents"), bits=16), max_hamming=3, bits=16
     ).orderBy("doc_a", "doc_b")
 
 

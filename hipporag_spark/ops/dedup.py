@@ -166,17 +166,34 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame, k: int = SHINGLE_K) ->
     return j
 
 
-def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     """Per-doc SimHash over word unigrams: ``(doc_id, simhash)``.
 
-    Word hash = first 4 hex chars of md5 (16-bit); bit b votes +1/-1 by
-    whether the word's bit is set, weighted by occurrence (explode keeps
-    duplicates). Fully relational: explode words × bits → two aggregations.
+    Bit b votes +1/-1 by whether the word's hash bit is set, weighted by
+    occurrence (explode keeps duplicates). Fully relational: explode
+    words × bits → two aggregations.
+
+    Word hash: ``bits=64`` (production default) uses ``xxhash64`` — with
+    pigeonhole banding that is 4×16-bit bands = 65,536 buckets per band.
+    The former 16-bit default (first 4 md5 hex chars) had 16 buckets per
+    band, i.e. ~n²/16 candidate pairs at corpus scale — quadratic, a plan
+    that never finishes at 10^9 docs (round-2 verdict). ``bits=16`` is
+    retained ONLY because md5 exists bit-identically in every engine,
+    which is what the DuckDB oracle parity check needs; xxhash64 has no
+    DuckDB twin.
     """
     w = documents.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
-    w = w.filter(F.length("word") > 0).withColumn(
-        "h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long")
-    )
+    w = w.filter(F.length("word") > 0)
+    if bits == 64:
+        # full signed 64-bit; bit 63 participates like any other (the
+        # arithmetic >> below is masked by & 1)
+        w = w.withColumn("h", F.xxhash64("word"))
+    elif bits == 16:
+        w = w.withColumn(
+            "h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long")
+        )
+    else:
+        raise ValueError(f"simhash supports bits in {{16, 64}}, got {bits}")
     wb = w.select(
         "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     )
@@ -196,7 +213,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sim: DataFrame, max_hamming: int = 3, bits: int = 16
+    sim: DataFrame, max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ ``max_hamming`` of ``bits``-bit
     SimHash — COMPLETE by the pigeonhole principle: the hash is split into
