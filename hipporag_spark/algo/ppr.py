@@ -634,6 +634,20 @@ _MMAP_CACHE: dict = {}
 
 _COO_ARRAYS = ("src", "w", "inv_strength", "uniq_dst", "rel_seg", "edge_lo", "seg_lo", "dang", "ids")
 
+# arrays of the executor-spilled ("parts") layout: V-sized / chunk-metadata
+# only — the E-sized src/w streams live in per-partition files written BY
+# the executors (part{p}.src.npy / part{p}.w.npy)
+_COO_V2_ARRAYS = (
+    "inv_strength", "uniq_dst", "rel_seg", "dang",
+    "chunk_part", "chunk_elo", "chunk_ehi", "chunk_slo", "chunk_shi",
+)
+
+# above this many edges the COO build switches from a driver Arrow-collect
+# to the executor-spill path (the driver pull at 2e8 edges is ~4 GB —
+# survivable but the wrong shape; graph.blocked._spill_blocks already
+# writes from executors and this mirrors it)
+COO_EXECUTOR_SPILL_MIN = 2_000_000
+
 # spill-dir lifecycle (atexit removal + dead-owner orphan sweep) lives in
 # nputil.make_spill_dir
 
@@ -647,10 +661,25 @@ def _resolve_coo(g: dict) -> dict:
     cached = _MMAP_CACHE.get(mdir)
     if cached is None:
         cached = dict(g)
-        for name in _COO_ARRAYS:
+        names = _COO_V2_ARRAYS if g.get("layout") == "parts" else _COO_ARRAYS
+        for name in names:
             p = f"{mdir}/{name}.npy"
             cached[name] = np.load(p, mmap_mode="r") if os.path.exists(p) else None
         _MMAP_CACHE[mdir] = cached
+    return cached
+
+
+def _load_part(mdir: str, part: int):
+    """Worker-side: mmap one edge partition's src/w files (parts layout);
+    cached per process like the v1 arrays."""
+    key = (mdir, "part", int(part))
+    cached = _MMAP_CACHE.get(key)
+    if cached is None:
+        src = np.load(f"{mdir}/part{part}.src.npy", mmap_mode="r")
+        wp = f"{mdir}/part{part}.w.npy"
+        w = np.load(wp, mmap_mode="r") if os.path.exists(wp) else None
+        cached = (src, w)
+        _MMAP_CACHE[key] = cached
     return cached
 
 
@@ -679,10 +708,32 @@ def collect_graph_coo(
     weight_dtype: str = "float64",
     mmap_dir: str | None = "auto",
 ) -> dict:
-    """Arrow-collect the normalized graph into driver-side COO arrays for
-    broadcasting. Only valid when the arrays fit in executor memory — the
-    caller (or ``engine="auto"``) must gate on edge count; beyond that the
-    packed block engine is the scale path."""
+    """Build the broadcast-engine COO representation. Only valid when the
+    arrays fit in executor memory — the caller (or ``engine="auto"``) must
+    gate on edge count; beyond that the packed block engine is the scale
+    path.
+
+    Two builders, chosen by size: past :data:`COO_EXECUTOR_SPILL_MIN` edges
+    (dense ids, the engine's normal case) the sorted edge stream is written
+    to per-partition ``.npy`` files BY the executors and the driver merges
+    only O(V) metadata (``_collect_coo_executor`` — mirrors
+    ``graph.blocked._spill_blocks``); below it, a driver Arrow-collect
+    (the pull is a few MB there and non-dense id spaces need the vids
+    array driver-side anyway).
+    """
+    spark = adj.sparkSession
+    vstats = vertex_ids.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi"), F.count("id").alias("cnt")
+    ).collect()[0]
+    n_v = int(vstats["cnt"] or 0)
+    dense_ids = n_v > 0 and vstats["lo"] == 0 and vstats["hi"] == n_v - 1
+    if mmap_dir is not None and dense_ids:
+        n_edges = adj.count()
+        if n_edges >= COO_EXECUTOR_SPILL_MIN:
+            mdir = mmap_dir if mmap_dir != "auto" else make_spill_dir("hipporag_coo_")
+            return _collect_coo_executor(
+                adj, strength_df, n_v, n_edges, weight_dtype, mdir
+            )
     vids = np.sort(
         vertex_ids.select("id").toPandas()["id"].to_numpy(dtype=np.int64)
     )
@@ -769,6 +820,150 @@ def collect_graph_coo(
     return out
 
 
+def _collect_coo_executor(
+    adj: DataFrame,
+    strength_df: DataFrame,
+    n: int,
+    n_edges: int,
+    weight_dtype: str,
+    mdir: str,
+) -> dict:
+    """Parts-layout COO: the E-sized streams never transit the driver.
+
+    The normalized edge stream is range-partitioned by ``dst`` (equal dst
+    never spans partitions) and sorted ``(dst, src)`` within — so the
+    concatenation of partitions in pid order IS the global ``(dst, src)``
+    sort the kernel's segment reduction needs, with the same deterministic
+    accumulation order as the driver builder. Each partition's task writes
+    its packed ``src``/``w`` arrays as ``part{pid}.*.npy`` and returns only
+    its distinct-dst / chunk metadata (O(V) total); the driver assembles
+    global chunk descriptors, spills the V-sized arrays next to the part
+    files, and broadcasts a scalars-only dict.
+    """
+    spark = adj.sparkSession
+    os.makedirs(mdir, exist_ok=True)
+    e = adj.join(strength_df, adj.src == strength_df.id).select(
+        "dst", "src", F.col("weight").cast("double").alias("w")
+    )
+    wstats = e.agg(F.min("w").alias("lo"), F.max("w").alias("hi")).collect()[0]
+    w_const = float(wstats["lo"]) if wstats["lo"] == wstats["hi"] else None
+    idt = np.int32 if n < 2**31 else np.int64
+    wdt = np.float32 if weight_dtype == "float32" else np.float64
+    # partition count from DATA (~8M edges ≈ 200 MB of task working set),
+    # floored at the cluster width so the write fills the cluster
+    R = max(spark.sparkContext.defaultParallelism, n_edges // 8_000_000 + 1)
+    CH = 1 << 18  # cache-blocked chunks, cut at segment boundaries (see v1)
+
+    def write_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        src = pdf["src"].to_numpy(dtype=np.int64).astype(idt)
+        ne = len(src)
+        # dst is sorted → unique's first-occurrence indices are the
+        # ascending segment starts
+        uniq, seg_starts = np.unique(dst, return_index=True)
+        if len(seg_starts) and ne > CH:
+            cut = np.searchsorted(seg_starts, np.arange(CH, ne, CH))
+            cut = np.unique(cut[cut < len(seg_starts)])
+            edge_lo = np.concatenate([[0], seg_starts[cut], [ne]])
+            seg_lo = np.concatenate([[0], cut, [len(seg_starts)]])
+            keep = np.nonzero(np.diff(edge_lo) > 0)[0]
+            edge_lo = np.concatenate([edge_lo[keep], [ne]]).astype(np.int64)
+            seg_lo = np.concatenate([seg_lo[keep], [len(seg_starts)]]).astype(np.int64)
+        else:
+            edge_lo = np.array([0, ne], dtype=np.int64)
+            seg_lo = np.array([0, len(seg_starts)], dtype=np.int64)
+        chunk_of_seg = np.searchsorted(
+            seg_lo[1:], np.arange(len(seg_starts)), side="right"
+        )
+        rel_seg = (seg_starts - edge_lo[chunk_of_seg]).astype(np.int64)
+
+        def save(name, arr):
+            # shared-FS dirs exist from the driver mkdir; executor-local
+            # roots (multi-node without a shared spill mount) need it here
+            os.makedirs(mdir, exist_ok=True)
+            tmp = f"{mdir}/.part{pid}.{name}.npy.tmp"
+            with open(tmp, "wb") as fh:
+                np.save(fh, arr)
+            os.replace(tmp, f"{mdir}/part{pid}.{name}.npy")
+
+        save("src", src)
+        if w_const is None:
+            save("w", pdf["w"].to_numpy(dtype=np.float64).astype(wdt))
+        yield pd.DataFrame(
+            {
+                "pid": [pid],
+                "n_edges": [ne],
+                "uniq": [uniq.astype(np.int64)],
+                "rel_seg": [rel_seg],
+                "chunk_elo": [edge_lo],
+                "chunk_slo": [seg_lo],
+            }
+        )
+
+    meta = sorted(
+        e.repartitionByRange(R, "dst")
+        .sortWithinPartitions("dst", "src")
+        .mapInPandas(
+            write_part,
+            "pid int, n_edges long, uniq array<long>, rel_seg array<long>, "
+            "chunk_elo array<long>, chunk_slo array<long>",
+        )
+        .collect(),
+        key=lambda r: r["pid"],
+    )
+    uniq_dst, rel_seg = [], []
+    chunk_part, chunk_elo, chunk_ehi, chunk_slo, chunk_shi = [], [], [], [], []
+    seg_off = 0
+    for r in meta:
+        uniq_dst.append(np.asarray(r["uniq"], dtype=idt))
+        rel_seg.append(np.asarray(r["rel_seg"], dtype=np.int64))
+        elo = np.asarray(r["chunk_elo"], dtype=np.int64)
+        slo = np.asarray(r["chunk_slo"], dtype=np.int64)
+        for ci in range(len(elo) - 1):
+            chunk_part.append(r["pid"])
+            chunk_elo.append(elo[ci])
+            chunk_ehi.append(elo[ci + 1])
+            chunk_slo.append(slo[ci] + seg_off)
+            chunk_shi.append(slo[ci + 1] + seg_off)
+        seg_off += len(r["uniq"])
+    # strength → inv_strength + dangling ids: V-sized driver pulls (the
+    # round-2 finding was only about the E-sized edge pull)
+    s_pdf = strength_df.filter(F.col("strength") > 0).select("id", "strength").toPandas()
+    pos_ids = s_pdf["id"].to_numpy(dtype=np.int64)
+    inv_strength = np.zeros(n)
+    inv_strength[pos_ids] = 1.0 / s_pdf["strength"].to_numpy(dtype=np.float64)
+    mask = np.ones(n, dtype=bool)
+    mask[pos_ids] = False
+    arrays = {
+        "inv_strength": inv_strength,
+        "uniq_dst": np.concatenate(uniq_dst) if uniq_dst else np.empty(0, dtype=idt),
+        "rel_seg": np.concatenate(rel_seg) if rel_seg else np.empty(0, dtype=np.int64),
+        "dang": np.nonzero(mask)[0].astype(np.int64),
+        "chunk_part": np.asarray(chunk_part, dtype=np.int32),
+        "chunk_elo": np.asarray(chunk_elo, dtype=np.int64),
+        "chunk_ehi": np.asarray(chunk_ehi, dtype=np.int64),
+        "chunk_slo": np.asarray(chunk_slo, dtype=np.int64),
+        "chunk_shi": np.asarray(chunk_shi, dtype=np.int64),
+    }
+    for name, arr in arrays.items():
+        tmp = f"{mdir}/.{name}.npy.tmp"
+        with open(tmp, "wb") as fh:
+            np.save(fh, arr)
+        os.replace(tmp, f"{mdir}/{name}.npy")
+    out = {k: None for k in _COO_V2_ARRAYS}
+    out.update(
+        {"layout": "parts", "n": n, "mmap_dir": mdir, "w_const": w_const, "ids": None}
+    )
+    return out
+
+
 def _ppr_broadcast_batch(
     spark: SparkSession,
     graph_coo,
@@ -799,12 +994,31 @@ def _ppr_broadcast_batch(
         if not pdfs:
             return
         g = _resolve_coo(bc.value)
-        n, src, w, dang = g["n"], g["src"], g["w"], g["dang"]
+        parts_layout = g.get("layout") == "parts"
+        n, dang = g["n"], g["dang"]
         w_const, inv_s = g["w_const"], g["inv_strength"]
         uniq_dst, rel_seg = g["uniq_dst"], g["rel_seg"]
-        edge_lo, seg_lo = g["edge_lo"], g["seg_lo"]
-        n_chunks = len(edge_lo) - 1
-        max_chunk = int(np.diff(edge_lo).max()) if n_chunks else 0
+        mdir = g.get("mmap_dir")
+        if parts_layout:
+            src = w = None
+            chunk_part = g["chunk_part"]
+            chunk_elo, chunk_ehi = g["chunk_elo"], g["chunk_ehi"]
+            chunk_slo, chunk_shi = g["chunk_slo"], g["chunk_shi"]
+            n_chunks = len(chunk_part)
+            max_chunk = (
+                int((np.asarray(chunk_ehi) - np.asarray(chunk_elo)).max())
+                if n_chunks
+                else 0
+            )
+            has_edges = n_chunks > 0
+            weighted = w_const is None
+        else:
+            src, w = g["src"], g["w"]
+            edge_lo, seg_lo = g["edge_lo"], g["seg_lo"]
+            n_chunks = len(edge_lo) - 1
+            max_chunk = int(np.diff(edge_lo).max()) if n_chunks else 0
+            has_edges = len(src) > 0
+            weighted = w is not None
         ids = g["ids"]
         pdf = pd.concat(pdfs, ignore_index=True)
         # preallocated per-task buffer (chunk-sized, L2-resident): fresh
@@ -844,7 +1058,7 @@ def _ppr_broadcast_batch(
             for t in active:
                 dm = Rs[t][dang].sum() if len(dang) else 0.0
                 np.multiply(resets[t], (1.0 - d) + d * dm, out=Ns[t])
-            if len(src):
+            if has_edges:
                 # gather from rr = r/strength (V-sized, cache-resident);
                 # edges sorted by dst → per-dst segment sums sequential;
                 # the rr[src] gather is the only random memory stream
@@ -853,17 +1067,24 @@ def _ppr_broadcast_batch(
                     np.multiply(Rs[t], inv_s, out=rrbuf)
                     RRs[t] = rrbuf.copy() if len(active) > 1 else rrbuf
                 for ci in range(n_chunks):
-                    elo, ehi = edge_lo[ci], edge_lo[ci + 1]
-                    slo, shi = seg_lo[ci], seg_lo[ci + 1]
+                    if parts_layout:
+                        psrc, pw = _load_part(mdir, chunk_part[ci])
+                        elo, ehi = chunk_elo[ci], chunk_ehi[ci]
+                        slo, shi = chunk_slo[ci], chunk_shi[ci]
+                        sc = psrc[elo:ehi]
+                        wc = pw[elo:ehi] if pw is not None else None
+                    else:
+                        elo, ehi = edge_lo[ci], edge_lo[ci + 1]
+                        slo, shi = seg_lo[ci], seg_lo[ci + 1]
+                        sc = src[elo:ehi]
+                        wc = w[elo:ehi] if w is not None else None
                     eb = ebuf[: ehi - elo]
-                    sc = src[elo:ehi]
-                    wc = w[elo:ehi] if w is not None else None
                     for t in active:
                         np.take(RRs[t], sc, out=eb)
                         if wc is not None:
                             np.multiply(eb, wc, out=eb)
                         np.add.reduceat(eb, rel_seg[slo:shi], out=SEG[t, slo:shi])
-                scale = d if w is not None else d * w_const
+                scale = d if weighted else d * w_const
                 for t in active:
                     seg_t = SEG[t]
                     seg_t *= scale
