@@ -18,9 +18,17 @@ physical plans — the precondition for scaling comparisons):
 - pipeline ops at $SPARK_GRAFT_SF_DIR: minhash LSH pairs, simhash,
   token stats, blocked-cogroup KNN over the embeddings table.
 
+Timing discipline (round-2 finding: a hypervisor-steal window inflated two
+queries 4-7x in the official record): every query runs
+SPARK_GRAFT_BENCH_TRIALS times (default 2); the headline number is the MIN
+wall, and the JSON carries per-trial walls plus per-trial steal%% from
+/proc/stat so a noisy record is visibly noisy. Same rigor as
+scripts/scaling_bench.py.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_FILES (default scales
-with SF: 10000 at sf0.1), SPARK_GRAFT_BENCH_QUERIES (default 32).
+with SF: 10000 at sf0.1), SPARK_GRAFT_BENCH_QUERIES (default 32),
+SPARK_GRAFT_BENCH_TRIALS (default 2).
 """
 
 from __future__ import annotations
@@ -37,39 +45,69 @@ from pyspark.sql import functions as F
 from hipporag_spark.session import get_spark
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat (see scripts/ppr_scale_worker)."""
+    f = open("/proc/stat").readline().split()
+    vals = [int(x) for x in f[1:9]]
+    return vals[7], sum(vals)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", str(max(1000, int(100_000 * sf)))))
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
 
     spark = get_spark(parallelism=cpus, app_name="hipporag_spark_bench")
     timings: dict[str, float] = {}
+    trial_walls: dict[str, list] = {}
+    trial_steal: dict[str, list] = {}
     extras: dict[str, float] = {}
 
-    def timed(name):
-        class _T:
-            def __enter__(self):
-                self.t0 = time.time()
-                return self
-
-            def __exit__(self, *a):
-                timings[name] = round(time.time() - self.t0, 3)
-
-        return _T()
+    def bench(name, fn, trials=n_trials):
+        """min-of-trials with per-trial steal%%; returns the last trial's
+        result (all benched jobs are deterministic re-runs)."""
+        result = None
+        walls, steals = [], []
+        for _ in range(trials):
+            s0, c0 = _cpu_ticks()
+            t0 = time.time()
+            result = fn()
+            walls.append(round(time.time() - t0, 3))
+            s1, c1 = _cpu_ticks()
+            steals.append(round(100 * (s1 - s0) / max(1, c1 - c0), 1))
+        timings[name] = min(walls)
+        trial_walls[name] = walls
+        trial_steal[name] = steals
+        return result
 
     # ---- graph build over the synthetic repo table ----
     from hipporag_spark.extract import extract
     from hipporag_spark.graph.build import build_graph, strength
     from hipporag_spark.synth import repo_files
 
-    with timed("graph_build"):
+    built = {}
+
+    def run_graph_build():
+        # drop the previous trial's cached frames so each trial pays the
+        # full cold build (and doesn't stack persisted copies)
+        if built:
+            built["ex"].unpersist()
+            built["st"].unpersist()
         files = repo_files(spark, n_files)
         ex = extract(files).persist()
         verts, edges, adj = build_graph(ex)
         st = strength(adj).persist()
-        n_vertices = verts.count()
-        n_edges = adj.count()
+        built.update(
+            ex=ex, verts=verts, adj=adj, st=st,
+            n_vertices=verts.count(), n_edges=adj.count(),
+        )
+        return built
+
+    built = bench("graph_build", run_graph_build)
+    verts, adj, st = built["verts"], built["adj"], built["st"]
+    n_vertices, n_edges = built["n_vertices"], built["n_edges"]
     extras["n_vertices"] = n_vertices
     extras["n_adj_rows"] = n_edges
     extras["n_files"] = n_files
@@ -83,16 +121,28 @@ def main() -> None:
 
     blocks = default_num_blocks(n_edges)
     extras["ppr_num_blocks"] = blocks
-    with timed("ppr_compile_blocks"):
-        bg = compile_blocks(adj, st, verts.select("id"), blocks)
+
+    compiled = {}
+
+    def run_compile():
+        if compiled:
+            compiled["bg"].unpersist()
+        compiled["bg"] = compile_blocks(adj, st, verts.select("id"), blocks)
+        return compiled["bg"]
+
+    bg = bench("ppr_compile_blocks", run_compile)
     ids = [r["id"] for r in verts.filter(F.col("ntype") == "entity").orderBy("id").limit(5).collect()]
     reset = spark.createDataFrame([(int(i), 1.0) for i in ids], "id long, weight double")
-    with timed("ppr"):
+
+    def run_ppr():
         ranks, lineage = personalized_pagerank(
             spark, adj, st, verts.select("id"), n_vertices=n_vertices,
             reset_df=reset, damping=0.5, engine="csr", graph=bg,
         )
         ranks.count()
+        return lineage
+
+    lineage = bench("ppr", run_ppr)
     steps = len(lineage)
     extras["ppr_supersteps"] = steps
     extras["ppr_supersteps_per_min"] = round(steps / (timings["ppr"] / 60.0), 2)
@@ -112,12 +162,15 @@ def main() -> None:
     extras["ppr_batch_queries"] = len(ent_ids)
 
     # broadcast-graph engine: the retrieval-regime engine (graph fits memory)
-    with timed("ppr_batch"):
+    def run_batch_broadcast():
         branks, blineage = personalized_pagerank_batch(
             spark, adj, st, verts.select("id"), breset,
             n_vertices=n_vertices, damping=0.5, engine="broadcast",
         )
         branks.count()
+        return blineage
+
+    blineage = bench("ppr_batch", run_batch_broadcast)
     b_iters = blineage[0].get("total_iterations", 0)
     extras["ppr_batch_engine"] = "broadcast"
     extras["ppr_batch_total_iterations"] = b_iters
@@ -126,12 +179,15 @@ def main() -> None:
     )
 
     # packed block (shuffle) engine on the same queries: the beyond-memory path
-    with timed("ppr_batch_blocked"):
+    def run_batch_blocked():
         branks2, blineage2 = personalized_pagerank_batch(
             spark, adj, st, verts.select("id"), breset,
             n_vertices=n_vertices, damping=0.5, graph=bg, engine="csr",
         )
         branks2.count()
+        return blineage2
+
+    blineage2 = bench("ppr_batch_blocked", run_batch_blocked)
     bsteps = len(blineage2)
     extras["ppr_batch_blocked_supersteps"] = bsteps
     extras["ppr_batch_blocked_query_edges_per_sec"] = round(
@@ -143,25 +199,28 @@ def main() -> None:
     from hipporag_spark.algo.labelprop import label_propagation
     from hipporag_spark.algo.triangles import triangle_count
 
-    with timed("connected_components"):
+    def run_cc():
         comp, cc_lin = connected_components(spark, adj, verts.select("id"), num_blocks=blocks)
         comp.count()
+        return cc_lin
+
+    cc_lin = bench("connected_components", run_cc)
     extras["cc_supersteps"] = len(cc_lin)
 
-    with timed("label_propagation"):
+    def run_lp():
         labels, _ = label_propagation(spark, adj, verts.select("id"), max_iter=5, num_blocks=blocks)
         labels.count()
 
-    with timed("triangle_count"):
-        _, total = triangle_count(adj)
-    extras["triangles"] = total
+    bench("label_propagation", run_lp)
+
+    total_tri = bench("triangle_count", lambda: triangle_count(adj)[1])
+    extras["triangles"] = total_tri
 
     # ---- pipeline ops over the driver testdata ----
     from hipporag_spark import driver_queries as dq
 
     for name in ["minhash_lsh_pairs", "simhash", "token_stats"]:
-        with timed(name):
-            dq.all_queries()[name](spark, sf_dir).count()
+        bench(name, lambda name=name: dq.all_queries()[name](spark, sf_dir).count())
 
     # compute-bound exact KNN: all-pairs blocked cogroup matmul over the
     # embeddings table replicated R× (O((Rn)²·d) FLOPs). Block count from
@@ -184,10 +243,11 @@ def main() -> None:
     extras["knn_items"] = n_items
     knn_blocks = max(1, n_items // 500)
     extras["knn_blocks"] = knn_blocks
-    with timed("knn_all_pairs"):
+    def run_knn():
         nn = knn(items, items, k=5, num_blocks=knn_blocks, exclude_self=True)
-        n_emb = nn.count()
-    extras["knn_result_rows"] = n_emb
+        return nn.count()
+
+    extras["knn_result_rows"] = bench("knn_all_pairs", run_knn)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -199,6 +259,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "trials": n_trials,
+                "trial_walls": trial_walls,
+                "trial_steal_pct": trial_steal,
                 **extras,
             }
         )
