@@ -161,10 +161,6 @@ class LinkGraphEngine:
         self.last_index_stats = {"new_chunks": n_new}
         if n_new == 0:
             return self.state
-        if self.enable_synonymy:
-            # synonymy KNN is global (top-k over ALL entities): merging a
-            # delta would diverge from rebuild semantics — rebuild instead
-            return self._build_state(self.state.extraction.unionByName(new_ex))
         return self._merge_state(new_ex)
 
     def delete(self, contents: list[str]) -> GraphState:
@@ -183,9 +179,6 @@ class LinkGraphEngine:
         ).localCheckpoint(eager=True)
         if doomed_ex.count() == 0:
             return s
-        if self.enable_synonymy:
-            surviving = s.extraction.join(doomed_keys, "chunk_id", "left_anti")
-            return self._build_state(surviving)
         return self._subtract_state(doomed_ex)
 
     # ----- shared delta builders (used by full, merge and subtract paths) -----
@@ -231,6 +224,71 @@ class LinkGraphEngine:
             .groupBy("entity_name")
             .agg(F.countDistinct("chunk_id").alias("num_chunks"))
         )
+
+    def _old_synonymy_keys(self, s) -> DataFrame:
+        """The current synonymy edge set lifted back to key space
+        ``(src, dst, weight)`` — vertex names ARE the store hash_ids."""
+        vmap = s.verts.select("id", "name")
+        return (
+            s.edges.filter(F.col("etype") == "synonymy")
+            .join(vmap.select(F.col("id").alias("src"), F.col("name").alias("sk")), "src")
+            .join(vmap.select(F.col("id").alias("dst"), F.col("name").alias("dk")), "dst")
+            .select(F.col("sk").alias("src"), F.col("dk").alias("dst"), "weight")
+        )
+
+    def _merge_synonymy(self, s, entity_store: DataFrame, ent_delta: DataFrame) -> DataFrame:
+        """Delta-only synonymy update for index(): key-space edge set equal
+        (up to matmul ulps) to a from-scratch self-KNN over ``entity_store``.
+
+        The reference re-queries only the NEW nodes against all entities
+        (``HippoRAG.py:821-830`` — query_node_keys = newly added). For
+        merge ≡ rebuild we additionally patch the reverse direction: an old
+        query's global top-k over (old ∪ new) items is the re-ranked union
+        of its existing top-k (over old items) and its top-k over the new
+        items alone — both unions are exact because any global top-k member
+        is in its subset's top-k, and score ≥ 0.8 filtering commutes with
+        top-k (scores ≥ threshold always outrank scores below it). Cost:
+        two KNNs of shape |delta| × |all| — never old × old again.
+        """
+        from .retrieval.knn import rerank_synonymy, synonymy_candidates
+
+        blocks = self.num_blocks or 8
+        old_syn = self._old_synonymy_keys(s)
+        # old qualified queries vs ONLY the new items (delta-sized item set)
+        patch = synonymy_candidates(s.entity_store, ent_delta, num_blocks=blocks)
+        # new qualified queries vs ALL items — these lists are already global
+        fresh = synonymy_candidates(ent_delta, entity_store, num_blocks=blocks)
+        return rerank_synonymy(old_syn.unionByName(patch).unionByName(fresh))
+
+    def _subtract_synonymy(self, s, entity_store: DataFrame) -> DataFrame:
+        """Delta-only synonymy update for delete(): ``entity_store`` is the
+        surviving store. Queries that cascade out drop with their edges; a
+        surviving query's list changes only if a DELETED item occupied one
+        of its slots (removing non-members can't alter a top-k), so exactly
+        those queries are re-run against the surviving items."""
+        from .retrieval.knn import rerank_synonymy, synonymy_candidates
+
+        blocks = self.num_blocks or 8
+        deleted = s.entity_store.join(
+            entity_store.select("hash_id"), "hash_id", "left_anti"
+        ).select("hash_id")
+        old_syn = self._old_synonymy_keys(s)
+        surviving_syn = old_syn.join(
+            deleted.select(F.col("hash_id").alias("src")), "src", "left_anti"
+        )
+        affected = (
+            surviving_syn.join(
+                deleted.select(F.col("hash_id").alias("dst")), "dst", "left_semi"
+            )
+            .select("src")
+            .distinct()
+        )
+        unaffected = surviving_syn.join(affected, "src", "left_anti")
+        requery = entity_store.join(
+            affected.select(F.col("src").alias("hash_id")), "hash_id", "left_semi"
+        )
+        recomputed = synonymy_candidates(requery, entity_store, num_blocks=blocks)
+        return rerank_synonymy(unaffected.unionByName(recomputed))
 
     def _swap_state(self, **tables) -> GraphState:
         """Install a new GraphState: count, invalidate the compiled block
@@ -348,22 +406,39 @@ class LinkGraphEngine:
         # edge/strength/refcount deltas, merged by keyed sums
         staged = fact_edges(new_ex).unionByName(passage_edges(new_ex))
         resolved = resolve_edges(staged, verts)
-        edges = ck(
-            s.edges.unionByName(resolved)
+        base_edges = (
+            s.edges.filter(F.col("etype") != "synonymy")
+            if self.enable_synonymy
+            else s.edges
+        )
+        merged_edges = (
+            base_edges.unionByName(resolved)
             .groupBy("src", "dst", "etype")
             .agg(F.sum("weight").alias("weight"))
         )
-        adj_delta = adjacency(resolved)
-        adj = ck(
-            s.adj.unionByName(adj_delta)
-            .groupBy("src", "dst")
-            .agg(F.sum("weight").alias("weight"))
-        )
-        st = ck(
-            s.strength.unionByName(strength(adj_delta))
-            .groupBy("id")
-            .agg(F.sum("strength").alias("strength"))
-        )
+        if self.enable_synonymy:
+            # synonymy edges are top-k lists, not additive counts: the delta
+            # update replaces the edge set wholesale (still delta-only KNN
+            # work), and adj/strength re-aggregate from the final edges —
+            # the same one-shuffle cost class as the keyed-sum merge, without
+            # float-cancellation on cosine weights
+            syn = resolve_edges(self._merge_synonymy(s, entity_store, ent_delta), verts)
+            edges = ck(merged_edges.unionByName(syn))
+            adj = ck(adjacency(edges))
+            st = ck(strength(adj))
+        else:
+            edges = ck(merged_edges)
+            adj_delta = adjacency(resolved)
+            adj = ck(
+                s.adj.unionByName(adj_delta)
+                .groupBy("src", "dst")
+                .agg(F.sum("weight").alias("weight"))
+            )
+            st = ck(
+                s.strength.unionByName(strength(adj_delta))
+                .groupBy("id")
+                .agg(F.sum("strength").alias("strength"))
+            )
         chunk_counts = ck(
             s.chunk_counts.unionByName(self._chunk_count_delta(new_ex))
             .groupBy("entity_name")
@@ -450,12 +525,38 @@ class LinkGraphEngine:
         # subtract the doomed edge contributions (delta-sized)
         staged = fact_edges(doomed_ex).unionByName(passage_edges(doomed_ex))
         resolved = resolve_edges(staged, s.verts)
-        edges = ck(
-            s.edges.unionByName(resolved.withColumn("weight", -F.col("weight")))
+        base_edges = (
+            s.edges.filter(F.col("etype") != "synonymy")
+            if self.enable_synonymy
+            else s.edges
+        )
+        subtracted = (
+            base_edges.unionByName(resolved.withColumn("weight", -F.col("weight")))
             .groupBy("src", "dst", "etype")
             .agg(F.sum("weight").alias("weight"))
             .filter(F.col("weight") > 0)
         )
+        if self.enable_synonymy:
+            # replace the synonymy edge set (delete cascade may drop
+            # entities out of surviving queries' top-k lists); adj/strength
+            # re-aggregate from the final edges — see _merge_state
+            syn = resolve_edges(self._subtract_synonymy(s, entity_store), verts)
+            edges = ck(subtracted.unionByName(syn))
+            adj = ck(adjacency(edges))
+            st = ck(strength(adj))
+            return self._swap_state(
+                extraction=extraction,
+                verts=verts,
+                edges=edges,
+                adj=adj,
+                strength=st,
+                chunk_store=chunk_store,
+                entity_store=entity_store,
+                fact_store=fact_store,
+                chunk_counts=chunk_counts,
+                fact_counts=fact_counts,
+            )
+        edges = ck(subtracted)
         adj_delta = adjacency(resolved)
         adj = ck(
             s.adj.unionByName(adj_delta.withColumn("weight", -F.col("weight")))

@@ -142,6 +142,56 @@ def knn(
     )
 
 
+def synonymy_candidates(
+    query_store: DataFrame,
+    item_store: DataFrame,
+    threshold: float = SYNONYMY_THRESHOLD,
+    top_k: int = SYNONYMY_TOPK,
+    max_neighbors: int = SYNONYMY_MAX_NEIGHBORS,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Per-query top-k candidate synonymy edges ``(src, dst, weight)`` in
+    key space — queries from ``query_store`` against ``item_store`` items.
+
+    Both stores are ``(hash_id, content, embedding)``. Query phrases need
+    > 2 alphanumeric chars (``HippoRAG.py:864``); self-pairs excluded.
+    The incremental engine calls this with delta-sized query or item sets:
+    a query's exact global top-k is recoverable by unioning per-item-subset
+    top-k lists and re-ranking (:func:`rerank_synonymy`) because any member
+    of the global top-k is in its own subset's top-k.
+    """
+    qualified = query_store.filter(
+        F.length(F.regexp_replace("content", "[^A-Za-z0-9]", "")) > 2
+    ).select(F.col("hash_id").alias("key"), "embedding")
+    nn = knn(
+        qualified,
+        item_store.select(F.col("hash_id").alias("key"), "embedding"),
+        k=min(top_k, max_neighbors),
+        num_blocks=num_blocks,
+        exclude_self=True,
+    )
+    return nn.filter(F.col("score") >= threshold).select(
+        F.col("query_key").alias("src"),
+        F.col("item_key").alias("dst"),
+        F.col("score").alias("weight"),
+    )
+
+
+def rerank_synonymy(
+    candidates: DataFrame, max_neighbors: int = SYNONYMY_MAX_NEIGHBORS
+) -> DataFrame:
+    """Global per-query top-``max_neighbors`` over (possibly unioned)
+    candidate lists, tie-broken exactly like :func:`knn`'s window
+    (score desc, key asc) → ``(src, dst, weight, etype)``."""
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_neighbors)
+        .drop("rank")
+        .withColumn("etype", F.lit("synonymy"))
+    )
+
+
 def synonymy_edges(
     entity_store: DataFrame,
     threshold: float = SYNONYMY_THRESHOLD,
@@ -152,27 +202,13 @@ def synonymy_edges(
     """Entity self-KNN → key-space edges ``(src, dst, weight, etype)``.
 
     entity_store: ``(hash_id, content, embedding)`` (entity namespace).
-    Guard: query phrases need > 2 alphanumeric chars (``HippoRAG.py:864``).
     """
-    ents = entity_store.select(
-        F.col("hash_id").alias("key"), "content", "embedding"
-    )
-    qualified = ents.filter(
-        F.length(F.regexp_replace("content", "[^A-Za-z0-9]", "")) > 2
-    ).select("key", "embedding")
-    nn = knn(
-        qualified,
-        ents.select("key", "embedding"),
-        k=min(top_k, max_neighbors),
+    cands = synonymy_candidates(
+        entity_store,
+        entity_store,
+        threshold=threshold,
+        top_k=top_k,
+        max_neighbors=max_neighbors,
         num_blocks=num_blocks,
-        exclude_self=True,
     )
-    return (
-        nn.filter((F.col("score") >= threshold) & (F.col("rank") <= max_neighbors))
-        .select(
-            F.col("query_key").alias("src"),
-            F.col("item_key").alias("dst"),
-            F.col("score").alias("weight"),
-        )
-        .withColumn("etype", F.lit("synonymy"))
-    )
+    return rerank_synonymy(cands, max_neighbors)

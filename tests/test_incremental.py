@@ -95,3 +95,60 @@ def test_delete_subtracts_to_rebuild_state(spark, corpora):
     # survivors keep their ids (holes are fine; values are what matters)
     for r in eng.state.verts.collect():
         assert ids_before[r["name"]] == r["id"]
+
+
+def _syn_keyed(eng):
+    """Edges/adj/strength projected onto names, as dicts for approx-compare:
+    synonymy weights are cosine scores from float64 matmuls whose BLAS
+    blocking differs between a delta-shaped and a full-shaped KNN, so
+    weights may differ in ulps between merge and rebuild (topology and
+    everything integer must still match exactly)."""
+    s = eng.state
+    v = s.verts.select("id", "name")
+    e = (
+        s.edges.join(v.select(F.col("id").alias("src"), F.col("name").alias("sn")), "src")
+        .join(v.select(F.col("id").alias("dst"), F.col("name").alias("dn")), "dst")
+        .select("sn", "dn", "etype", "weight")
+    )
+    adj = (
+        s.adj.join(v.select(F.col("id").alias("src"), F.col("name").alias("sn")), "src")
+        .join(v.select(F.col("id").alias("dst"), F.col("name").alias("dn")), "dst")
+        .select("sn", "dn", "weight")
+    )
+    st = s.strength.join(v, "id").select("name", "strength")
+    return {
+        "edges": {(r["sn"], r["dn"], r["etype"]): r["weight"] for r in e.collect()},
+        "adj": {(r["sn"], r["dn"]): r["weight"] for r in adj.collect()},
+        "strength": {r["name"]: r["strength"] for r in st.collect()},
+        "verts": {(r["name"], r["ntype"]) for r in s.verts.select("name", "ntype").collect()},
+        "entity_store": {r["hash_id"] for r in s.entity_store.collect()},
+    }
+
+
+def _assert_syn_equal(a, b):
+    assert a["verts"] == b["verts"]
+    assert a["entity_store"] == b["entity_store"]
+    for part in ("edges", "adj", "strength"):
+        assert set(a[part]) == set(b[part]), f"{part} topology mismatch"
+        for k, va in a[part].items():
+            assert abs(va - b[part][k]) < 1e-9, (part, k, va, b[part][k])
+
+
+def test_incremental_merge_equals_rebuild_synonymy(spark, corpora):
+    base, full, new5 = corpora
+    inc = LinkGraphEngine(spark, num_blocks=8, enable_synonymy=True)
+    inc.index(base)
+    inc.index(new5)
+    scratch = LinkGraphEngine(spark, num_blocks=8, enable_synonymy=True)
+    scratch.index(full)
+    _assert_syn_equal(_syn_keyed(inc), _syn_keyed(scratch))
+
+
+def test_delete_equals_rebuild_synonymy(spark, corpora):
+    base, full, new5 = corpora
+    eng = LinkGraphEngine(spark, num_blocks=8, enable_synonymy=True)
+    eng.index(full)
+    eng.delete([r["content"] for r in new5.collect()])
+    scratch = LinkGraphEngine(spark, num_blocks=8, enable_synonymy=True)
+    scratch.index(base)
+    _assert_syn_equal(_syn_keyed(eng), _syn_keyed(scratch))
