@@ -406,6 +406,7 @@ def _ppr_blocked(
     checkpoint_dir: str | None,
     run_id: str | None,
     check_every: int | None,
+    ck_holder: list | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """The shared superstep loop of the packed block engine.
 
@@ -613,13 +614,20 @@ def _ppr_blocked(
 
     free_local_checkpoint(runstate)
     if ckpt is None and prev_ck is not None:
-        # the final superstep's localCheckpoint blocks back the returned
-        # ranks: re-home the result to a parquet spill (valid regardless of
-        # later runs — see fsio.spill_df's retention contract) and free the
-        # blocks NOW, instead of round 2's deferred free that invalidated
-        # the PREVIOUS caller's still-lazy result on the next run
-        ranks = spill_df(ranks.select("block", "vals"), "hipporag_ranks_")
-        free_local_checkpoint(prev_ck)
+        if ck_holder is not None:
+            # a query-group run inside a split batch: the CALLER spills the
+            # unioned result once and then frees these blocks — per-group
+            # spills would churn fsio's result LRU (SPILL_KEEP) and evict
+            # sibling groups' still-unread results mid-batch
+            ck_holder.append(prev_ck)
+        else:
+            # the final superstep's localCheckpoint blocks back the returned
+            # ranks: re-home the result to a parquet spill (valid regardless
+            # of later runs — see fsio.spill_df's retention contract) and
+            # free the blocks NOW, instead of round 2's deferred free that
+            # invalidated the PREVIOUS caller's still-lazy result
+            ranks = spill_df(ranks.select("block", "vals"), "hipporag_ranks_")
+            free_local_checkpoint(prev_ck)
     return ranks, lineage
 
 
@@ -1531,12 +1539,108 @@ def personalized_pagerank_batch(
         P = num_blocks or default_num_blocks(adj.count())
         bg = compile_blocks(adj, strength_df, vertex_ids.select("id"), P)
     reset_rows, qids, uniform_q = _normalize_resets(spark, reset_df)
-    ranks_packed, lineage = _ppr_blocked(
-        spark, bg, reset_rows, qids, uniform_q, damping, tol, max_iter,
-        checkpoint_dir, run_id, check_every,
-    )
-    ranks = _unpack_ranks(ranks_packed, bg.vstate, qids)
+
+    # query-dimension parallelism: the blocked engine's unit of parallelism
+    # is the block, so a many-query batch on a small-P graph (the retrieval
+    # regime that lands on this engine when the broadcast path is
+    # unavailable) serializes onto P tasks. Split the batch into
+    # cores//P groups and run them as CONCURRENT driver-thread jobs —
+    # Spark interleaves their (block-wide) stages across the idle cores.
+    # Per-query math is untouched: each query's kernel arithmetic is
+    # independent of its batch-mates (the batch≡single tests pin this), so
+    # the split is bitwise-neutral. Checkpointed runs stay single-run (one
+    # run_id, one resume lineage — the durability contract).
+    cores = spark.sparkContext.defaultParallelism
+    n_groups = min(len(qids), max(1, cores // bg.num_blocks))
+    if checkpoint_dir is None and n_groups > 1:
+        groups = [list(g) for g in np.array_split(np.array(qids, dtype=object), n_groups)]
+        from concurrent.futures import ThreadPoolExecutor
+
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        # hoist the loop-scoped conf (see _ppr_blocked) above the threads:
+        # each thread's own set/restore then writes the same values, so the
+        # restore race between unequal-length groups is harmless
+        spark.conf.set("spark.sql.shuffle.partitions", str(bg.num_blocks))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            def run_group(g):
+                holder: list = []
+                rr = reset_rows.filter(F.col("query_id").isin(list(g)))
+                packed, lin = _ppr_blocked(
+                    spark, bg, rr, list(g), uniform_q & set(g), damping, tol,
+                    max_iter, None, None, check_every, ck_holder=holder,
+                )
+                return _unpack_ranks(packed, bg.vstate, list(g)), lin, holder
+
+            with ThreadPoolExecutor(max_workers=n_groups) as ex:
+                results = list(ex.map(run_group, groups))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        ranks = results[0][0]
+        for r, _, _ in results[1:]:
+            ranks = ranks.unionByName(r)
+        # ONE spill for the whole batch (all group checkpoint blocks are
+        # still alive here), then release them
+        ranks = spill_df(ranks, "hipporag_ranks_")
+        for _, _, holder in results:
+            for df in holder:
+                free_local_checkpoint(df)
+        lineage = _merge_group_lineages([lin for _, lin, _ in results])
+        if graph is None:
+            bg.unpersist()
+        return ranks, lineage
+    else:
+        ranks_packed, lineage = _ppr_blocked(
+            spark, bg, reset_rows, qids, uniform_q, damping, tol, max_iter,
+            checkpoint_dir, run_id, check_every,
+        )
+        ranks = _unpack_ranks(ranks_packed, bg.vstate, qids)
     if graph is None:
         ranks = spill_df(ranks, "hipporag_ranks_")
         bg.unpersist()
     return ranks, lineage
+
+
+def _merge_group_lineages(lineages: list[list[dict]]) -> list[dict]:
+    """Merge per-group superstep lineages into one batch lineage.
+
+    Entry i aggregates every group's superstep i; a group converged before
+    i contributes its final (fixed-point) metrics, so the LAST merged entry
+    always carries per-query partitions for the whole batch. wall_ms is the
+    max across groups (they ran concurrently); delta is the max of the
+    groups' deltas where reported.
+    """
+    length = max(len(lin) for lin in lineages)
+    merged: list[dict] = []
+    for i in range(length):
+        parts: list = []
+        deltas: list = []
+        wall = 0.0
+        for lin in lineages:
+            e = lin[min(i, len(lin) - 1)]
+            live = i < len(lin)
+            if live or i == length - 1:
+                # converged groups re-contribute their final partitions only
+                # to the closing entry (their vectors are at fixed point)
+                parts.extend(e["partitions"])
+            if live:
+                wall = max(wall, e["wall_ms"])
+                if e["delta"] is not None:
+                    deltas.append(e["delta"])
+        merged.append(
+            {
+                "run_id": "batch-groups",
+                "superstep": i,
+                "delta": max(deltas) if deltas else None,
+                "converged": (
+                    all(lin[-1]["converged"] for lin in lineages)
+                    if i == length - 1
+                    else False
+                ),
+                "wall_ms": wall,
+                "partitions": parts,
+            }
+        )
+    return merged
