@@ -51,9 +51,27 @@ def _cpu_ticks() -> tuple[int, int]:
 
 
 def kernel_pass(g: dict, r: np.ndarray, rr: np.ndarray, ebuf, segbuf, d=0.5):
-    """One power-iteration SpMV pass — the broadcast engine's inner loop."""
+    """One power-iteration SpMV pass — the broadcast engine's inner loop.
+    Replays whichever COO layout the engine built: v1 (single src/w stream,
+    edge_lo/seg_lo chunking) or the executor-spilled "parts" layout
+    (per-partition src/w files + global chunk descriptors)."""
     np.multiply(r, g["inv_strength"], out=rr)
-    edge_lo, seg_lo, rel_seg, src = g["edge_lo"], g["seg_lo"], g["rel_seg"], g["src"]
+    rel_seg = g["rel_seg"]
+    if g.get("layout") == "parts":
+        from hipporag_spark.algo.ppr import _load_part
+
+        mdir = g["mmap_dir"]
+        for ci in range(len(g["chunk_part"])):
+            psrc, pw = _load_part(mdir, int(g["chunk_part"][ci]))
+            a, b = g["chunk_elo"][ci], g["chunk_ehi"][ci]
+            sa, sb = g["chunk_slo"][ci], g["chunk_shi"][ci]
+            eb = ebuf[: b - a]
+            np.take(rr, psrc[a:b], out=eb)
+            if pw is not None:
+                np.multiply(eb, pw[a:b], out=eb)
+            np.add.reduceat(eb, rel_seg[sa:sb], out=segbuf[sa:sb])
+        return segbuf
+    edge_lo, seg_lo, src = g["edge_lo"], g["seg_lo"], g["src"]
     for ci in range(len(edge_lo) - 1):
         a, b = edge_lo[ci], edge_lo[ci + 1]
         sa, sb = seg_lo[ci], seg_lo[ci + 1]
@@ -69,20 +87,27 @@ def _calib_proc(args):
     mmap_dir, iters = args
     from hipporag_spark.algo.ppr import _resolve_coo
 
-    g = _resolve_coo({"mmap_dir": mmap_dir, "w_const": 1.0, "n": 0})
-    src = g["src"]
+    layout = "parts" if not os.path.exists(f"{mmap_dir}/src.npy") else "v1"
+    g = _resolve_coo({"mmap_dir": mmap_dir, "w_const": 1.0, "n": 0, "layout": layout})
     n = len(g["inv_strength"])
+    if layout == "parts":
+        spans = np.asarray(g["chunk_ehi"]) - np.asarray(g["chunk_elo"])
+        n_edges = int(spans.sum())
+        max_chunk = int(spans.max()) if len(spans) else 0
+    else:
+        n_edges = len(g["src"])
+        max_chunk = int(np.diff(g["edge_lo"]).max())
     rng = np.random.default_rng(1)
     r = rng.random(n)
     rr = np.empty(n)
-    ebuf = np.empty(int(np.diff(g["edge_lo"]).max()))
+    ebuf = np.empty(max_chunk)
     segbuf = np.empty(len(g["uniq_dst"]))
     uniq = g["uniq_dst"]
     t0 = time.time()
     for _ in range(iters):
         seg = kernel_pass(g, r, rr, ebuf, segbuf)
         r[uniq] = 1e-6 + 0.5 * seg
-    return len(src) * iters / (time.time() - t0)
+    return n_edges * iters / (time.time() - t0)
 
 
 def main() -> None:
