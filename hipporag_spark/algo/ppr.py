@@ -1490,6 +1490,10 @@ def personalized_pagerank(
     return ranks, lineage
 
 
+_GROUP_OVERRIDE: int | None = None
+_MIN_QUERIES_PER_GROUP = 8
+
+
 def personalized_pagerank_batch(
     spark: SparkSession,
     adj: DataFrame,
@@ -1551,7 +1555,19 @@ def personalized_pagerank_batch(
     # the split is bitwise-neutral. Checkpointed runs stay single-run (one
     # run_id, one resume lineage — the durability contract).
     cores = spark.sparkContext.defaultParallelism
-    n_groups = min(len(qids), max(1, cores // bg.num_blocks))
+    # group fatness: the SpMV kernel is memory-bound on the graph stream,
+    # so a group of 8 queries costs ~the same wall as 1 — and each group
+    # pays ~5 chained-job latencies plus its share of the single-threaded
+    # DAGScheduler event loop. Measured at sf0.1/local[32], 32 queries,
+    # P=1: 32 groups 85.2s, 16 → 36.3s, 8 → 32.0s, 4 → 18.2s, 1 → 26.1s —
+    # so split only down to ≥8 queries per group
+    n_groups = min(
+        len(qids),
+        max(1, cores // bg.num_blocks),
+        max(1, -(-len(qids) // _MIN_QUERIES_PER_GROUP)),
+    )
+    if _GROUP_OVERRIDE is not None:  # test/experiment hook
+        n_groups = min(len(qids), _GROUP_OVERRIDE)
     if checkpoint_dir is None and n_groups > 1:
         groups = [list(g) for g in np.array_split(np.array(qids, dtype=object), n_groups)]
         from concurrent.futures import ThreadPoolExecutor
