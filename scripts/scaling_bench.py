@@ -56,7 +56,7 @@ WORKLOADS = {
     },
     "blocked_shuffle": {
         "SCALE_WORKLOAD": "blocked", "SCALE_E": "8000000", "SCALE_V": "500000",
-        "SCALE_Q": "8", "SCALE_TRIALS": "2",
+        "SCALE_Q": "8", "SCALE_TRIALS": "3",
     },
 }
 
