@@ -857,9 +857,13 @@ def _collect_coo_executor(
     w_const = float(wstats["lo"]) if wstats["lo"] == wstats["hi"] else None
     idt = np.int32 if n < 2**31 else np.int64
     wdt = np.float32 if weight_dtype == "float32" else np.float64
-    # partition count from DATA (~8M edges ≈ 200 MB of task working set),
-    # floored at the cluster width so the write fills the cluster
-    R = max(spark.sparkContext.defaultParallelism, n_edges // 8_000_000 + 1)
+    # partition count from DATA ONLY (~8M edges ≈ 200 MB of task working
+    # set). Deliberately NOT floored at the cluster width: the layout must
+    # be identical at every parallelism level (scaling comparisons and
+    # cross-session reuse both depend on it), and at real scale the data
+    # term dominates any core count anyway — only the one-time build write
+    # is less parallel on a small graph
+    R = n_edges // 8_000_000 + 1
     CH = 1 << 18  # cache-blocked chunks, cut at segment boundaries (see v1)
 
     def write_part(batches):

@@ -104,3 +104,108 @@ def lsh_topk(
     scored = scored.filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer + inverted lists, fully deterministic.
+
+    Returns ``(centroids(cid, cemb), assigned(vec_id, embedding, cid))``.
+
+    - Seeds: the ``num_centroids`` items with smallest ``md5(vec_id)``
+      (content-addressed — identical at any cluster size, no RNG state).
+    - ``lloyd_iters`` k-means refinements, each one Spark pass: assign via
+      broadcast centroid table + ``max_by`` argmax (cosine), then the
+      element-wise member mean via ``posexplode`` + two-phase keyed
+      aggregation (skew-safe: a hub centroid's rows spread over (cid, pos)
+      composite keys), re-normalized to unit length.
+    - At 100 TB: ``cid`` is the storage partition key of the inverted
+      lists; only the centroid table (C×dim doubles) ever reaches the
+      driver.
+    """
+    items = embeddings.select("vec_id", "embedding")
+    cents = (
+        items.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(num_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("h", "vec_id")).alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+    )
+    for _ in range(lloyd_iters):
+        assigned = _assign(items, cents)
+        summed = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("cid", F.transform("pv", lambda s: s["v"]).alias("cemb"))
+        )
+        norm = F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+        cents = summed.select(
+            "cid",
+            F.transform("cemb", lambda x: x / norm).alias("cemb"),
+        )
+    return cents, _assign(items, cents)
+
+
+def _assign(items: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast cross-score + max_by argmax
+    (cosine desc, cid asc — deterministic ties)."""
+    scored = items.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        _dot(F.col("embedding"), F.col("cemb")).alias("cs"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))).alias("m"),
+        )
+        .select("vec_id", "embedding", (-F.col("m.nc")).alias("cid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    lloyd_iters: int = 2,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists.
+
+    Same output shape/rounding/tie rules as :func:`brute_force_topk`, so
+    ``nprobe == num_centroids`` is EXACTLY the brute-force result (the
+    pytest oracle). Pass a prebuilt ``index`` (from :func:`ivf_index`) to
+    amortize the build across query batches.
+    """
+    cents, assigned = index if index is not None else ivf_index(
+        embeddings, num_centroids, lloyd_iters
+    )
+    q = queries.select("query_id", F.col("embedding").alias("qemb"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("qcs"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qemb", "cid", _dot(F.col("qemb"), F.col("cemb")).alias("qcs"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qemb", "cid")
+    )
+    scored = assigned.join(F.broadcast(probes), "cid").select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("embedding"), F.col("qemb")), 6).alias("score"),
+    )
+    scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

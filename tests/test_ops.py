@@ -243,3 +243,56 @@ def test_rerank_and_qa(spark):
     assert "passage alpha" in p and "Question: what is alpha?" in p
     ans = qa_read(prompts).collect()[0]
     assert ans["answer"] == "what is alpha?"
+
+
+def test_ivf_probe_all_equals_brute_force(spark):
+    """nprobe == num_centroids scores every inverted list, so IVF must
+    reproduce brute force exactly (same rounding and tie rules)."""
+    from hipporag_spark.ops.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((80, 16)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(80)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(4)], "query_id long, embedding array<float>"
+    )
+    bf = {(r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+          for r in brute_force_topk(emb, q, k=5).collect()}
+    iv = {(r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+          for r in ivf_topk(emb, q, k=5, num_centroids=8, nprobe=8).collect()}
+    assert iv == bf
+
+
+def test_ivf_clustered_recall(spark):
+    """On genuinely clustered data, probing 2 of 8 lists keeps recall high
+    and never reports a wrong score (every hit is a true rounded dot)."""
+    from hipporag_spark.ops.similarity import ivf_index, ivf_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((8, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    M = np.repeat(base, 25, axis=0) + 0.05 * rng.standard_normal((200, 32))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    M = M.astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(200)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(i, M[i * 25].tolist()) for i in range(8)], "query_id long, embedding array<float>"
+    )
+    index = ivf_index(emb, num_centroids=8, lloyd_iters=2)
+    bf = brute_force_topk(emb, q, k=10).collect()
+    iv = ivf_topk(emb, q, k=10, num_centroids=8, nprobe=2, index=index).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = 0
+    for r in iv:
+        d = round(float(M[r["query_id"] * 25].astype(np.float64) @ M[r["vec_id"]].astype(np.float64)), 6)
+        assert abs(r["score"] - d) < 2e-6
+        if r["vec_id"] in bf_sets[r["query_id"]]:
+            hits += 1
+    assert hits / (len(bf_sets) * 10) >= 0.9, f"recall {hits / (len(bf_sets) * 10)}"
