@@ -796,6 +796,23 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF inverted-list ANN, run probe-all (nprobe == num_centroids): the
+    index build (deterministic k-means) + probe machinery runs for real,
+    and probing every list makes the result EXACTLY brute force — so the
+    brute-force SQL oracle verifies the whole path end-to-end. The
+    recall/nprobe trade-off is covered by tests/test_ops.py."""
+    from .ops.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, k=10, num_centroids=8, nprobe=8, lloyd_iters=1
+    ).select("query_id", "vec_id", "score", "rank").orderBy("query_id", "rank")
+
+
 def q_token_stats(spark, sf_dir):
     from .ops.textstats import token_stats
 
@@ -1067,6 +1084,7 @@ def all_queries() -> dict:
         "simhash_near_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_bruteforce_topk": q_ann_topk,
+        "ann_ivf_probe_all": q_ann_ivf,
         "knn_blocked_cogroup": q_knn_blocked,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -1098,6 +1116,7 @@ def all_oracles() -> dict:
         "simhash_near_pairs": SQL_SIMHASH_PAIRS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ann_bruteforce_topk": SQL_ANN_TOPK,
+        "ann_ivf_probe_all": SQL_ANN_TOPK,
         "knn_blocked_cogroup": SQL_KNN_BLOCKED,
         "token_stats": SQL_TOKEN_STATS,
         "quality_score": SQL_QUALITY,
