@@ -1066,6 +1066,57 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5 ORDER BY query_
 """
 
 
+def q_events_windowed(spark, sf_dir):
+    """Tumbling-window event stats (``ops/sessions.windowed_event_stats``).
+    Bucket is epoch arithmetic (floor(epoch_us/width)), so the result is
+    session-timezone-independent on both engines."""
+    from .ops.sessions import windowed_event_stats
+
+    return windowed_event_stats(load(spark, sf_dir, "events"), 3600)
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT CAST(floor(epoch_us(ts)/3600000000) * 3600 AS BIGINT) AS bucket_start_s,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based per-user sessionization (``ops/sessions.sessionize``,
+    30-minute gap): one shuffle on user_id + per-key time-sorted scan."""
+    from .ops.sessions import sessionize
+
+    return sessionize(load(spark, sf_dir, "events"), 1800)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+  SELECT user_id, ts_us, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
 def all_queries() -> dict:
     return {
         "passage_edges": q_passage_edges,
@@ -1095,6 +1146,8 @@ def all_queries() -> dict:
         "rel_minmax_normalize": q_rel_minmax,
         "rel_anti_semi_join": q_rel_anti_semi,
         "multimodal_features": q_multimodal,
+        "events_windowed_stats": q_events_windowed,
+        "sessionize_events": q_sessionize,
     }
 
 
@@ -1127,4 +1180,6 @@ def all_oracles() -> dict:
         "rel_minmax_normalize": SQL_REL_MINMAX,
         "rel_anti_semi_join": SQL_REL_ANTI_SEMI,
         "multimodal_features": SQL_MULTIMODAL,
+        "events_windowed_stats": SQL_EVENTS_WINDOWED,
+        "sessionize_events": SQL_SESSIONIZE,
     }
