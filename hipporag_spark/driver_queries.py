@@ -1117,6 +1117,82 @@ FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
 """
 
 
+def _events_us(spark, sf_dir):
+    from .ops.sessions import epoch_us
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type", "value", epoch_us(ev, "ts").alias("ts_us")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (``ops/joins.asof_join``): each purchase matched to the
+    user's most recent prior-or-equal non-purchase event. One shuffle on
+    user_id + per-key ordered window — no inequality join in the plan.
+    Oracle uses DuckDB's native ASOF LEFT JOIN (an independent
+    implementation of the same semantics)."""
+    from .ops.joins import asof_join
+
+    e = _events_us(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    right = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts_us", "event_type", "value"
+    )
+    return asof_join(
+        left, right, on="user_id", ts="ts_us",
+        right_cols=["event_type", "value"], prefix="prior_",
+    ).orderBy("event_id")
+
+
+SQL_ASOF_JOIN = """
+WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts_us, event_type, value FROM e WHERE event_type <> 'purchase')
+SELECT l.event_id, l.user_id, l.ts_us, l.value,
+       r.ts_us AS prior_ts_us, r.event_type AS prior_event_type, r.value AS prior_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+ORDER BY l.event_id
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (``ops/joins.range_join``): per-error 10-minute incident
+    windows, count + sum of ALL events inside each. Bucketized interval
+    explode → plain hash join + containment filter; the oracle is
+    DuckDB's inequality (IE) join."""
+    from .ops.joins import range_join
+
+    e = _events_us(spark, sf_dir)
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + 600_000_000).alias("end_us"),
+    )
+    pts = e.select("event_id", "ts_us", "value")
+    joined = range_join(pts, err, "ts_us", "start_us", "end_us", bucket_us=600_000_000)
+    return (
+        joined.groupBy("err_id")
+        .agg(
+            F.count("*").alias("n_in_window"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("err_id")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH e AS (SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+err AS (SELECT event_id AS err_id, ts_us AS start_us, ts_us + 600000000 AS end_us
+        FROM e WHERE event_type = 'error')
+SELECT err.err_id, count(*) AS n_in_window, round(sum(e.value), 4) AS sum_value
+FROM e JOIN err ON e.ts_us BETWEEN err.start_us AND err.end_us
+GROUP BY err.err_id ORDER BY err.err_id
+"""
+
+
 def all_queries() -> dict:
     return {
         "passage_edges": q_passage_edges,
@@ -1148,6 +1224,8 @@ def all_queries() -> dict:
         "multimodal_features": q_multimodal,
         "events_windowed_stats": q_events_windowed,
         "sessionize_events": q_sessionize,
+        "asof_join_events": q_asof_join,
+        "range_join_error_windows": q_range_join,
     }
 
 
@@ -1182,4 +1260,6 @@ def all_oracles() -> dict:
         "multimodal_features": SQL_MULTIMODAL,
         "events_windowed_stats": SQL_EVENTS_WINDOWED,
         "sessionize_events": SQL_SESSIONIZE,
+        "asof_join_events": SQL_ASOF_JOIN,
+        "range_join_error_windows": SQL_RANGE_JOIN,
     }
