@@ -106,3 +106,28 @@ def test_cc_kill_and_resume(spark, tmp_path):
     )
     got = {r["id"]: r["component"] for r in part2.collect()}
     assert got == want and lin2[-1]["converged"]
+
+
+def test_lp_kill_and_resume(spark, tmp_path):
+    """Label propagation resumes mid-run from the superstep checkpoint and
+    lands on labels identical to an uninterrupted run (pinned
+    deterministic argmax semantics make this exact)."""
+    from hipporag_spark.algo.labelprop import label_propagation
+
+    n = 30
+    edges, adj, st, vids = _graph(spark, n, 40, seed=43)
+    ckdir = str(tmp_path / "ck4")
+    full, _ = label_propagation(spark, adj, vids, max_iter=6)
+    want = {r["id"]: r["label"] for r in full.collect()}
+
+    part1, lin1 = label_propagation(
+        spark, adj, vids, max_iter=2, checkpoint_dir=ckdir, run_id="lp1"
+    )
+    assert lin1[-1]["superstep"] == 1  # killed after round 2 of 6
+    part2, lin2 = label_propagation(
+        spark, adj, vids, max_iter=6, checkpoint_dir=ckdir, run_id="lp1"
+    )
+    got = {r["id"]: r["label"] for r in part2.collect()}
+    assert got == want
+    # resumed run executed only the remaining rounds
+    assert lin2[-1]["superstep"] == lin1[-1]["superstep"] + (6 - 2) or lin2[-1]["converged"]
