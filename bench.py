@@ -219,7 +219,13 @@ def main() -> None:
     # ---- pipeline ops over the driver testdata ----
     from hipporag_spark import driver_queries as dq
 
-    for name in ["minhash_lsh_pairs", "simhash", "token_stats"]:
+    for name in [
+        "minhash_lsh_pairs",
+        "simhash",
+        "token_stats",
+        "sessionize_events",
+        "asof_join_events",
+    ]:
         bench(name, lambda name=name: dq.all_queries()[name](spark, sf_dir).count())
 
     # compute-bound exact KNN: all-pairs blocked cogroup matmul over the

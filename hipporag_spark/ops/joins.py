@@ -47,6 +47,7 @@ def asof_join(
     right_cols: Sequence[str],
     prefix: str = "asof_",
     tolerance_us: int | None = None,
+    strategy: str = "shuffle",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right.ts <= left.ts`` within the same ``on`` key (pandas
@@ -60,7 +61,26 @@ def asof_join(
     Ties (two right rows with identical (key, ts)) resolve to the
     greatest carried payload struct — deterministic, where a plain
     inequality-join argmax would be arbitrary.
+
+    ``strategy``:
+
+    - ``"shuffle"`` (default) — tag-union + per-key ordered window: ONE
+      shuffle of both sides on the key. The right choice when both sides
+      are large (event-to-event alignment).
+    - ``"broadcast"`` — for a SMALL right side (a feature/dimension
+      table): collect each key's right rows into a sorted array,
+      broadcast-hash-join it onto the left, and take the last array
+      element with ``rts <= left.ts`` via JVM higher-order functions.
+      The big left side is NEVER shuffled — the plan is scan → broadcast
+      join → projection, which is what survives a 100 TB left input.
+      Per-left-row cost is O(right rows for that key). Identical
+      results (including the tie rule) to the shuffle strategy — pinned
+      by tests.
     """
+    if strategy == "broadcast":
+        return _asof_join_broadcast(
+            left, right, on, ts, right_cols, prefix, tolerance_us
+        )
     keys = [on] if isinstance(on, str) else list(on)
     payload = F.struct(F.col(ts).alias("__rts"), *[F.col(c) for c in right_cols])
     l = left.withColumn("__side", F.lit(1)).withColumn(
@@ -103,6 +123,40 @@ def asof_join(
         *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
     return out
+
+
+def _asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+    prefix: str,
+    tolerance_us: int | None,
+) -> DataFrame:
+    """Small-right as-of: per-key sorted payload arrays, broadcast onto
+    the left, last element <= left.ts picked with filter/get — no shuffle
+    of the left side, no Python in the row path."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(F.col(ts).alias("__rts"), *[F.col(c) for c in right_cols])
+    # sort_array ascending on (rts, payload...) → the LAST qualifying
+    # element is the greatest (rts, payload): same tie rule as the
+    # window strategy's orderBy(..., __p) + last()
+    arrs = right.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(payload)).alias("__arr")
+    )
+    j = left.join(F.broadcast(arrs), keys, "left")
+    lts = F.col(ts)
+    cand = F.filter(F.col("__arr"), lambda s: s["__rts"] <= lts)
+    m = F.get(cand, F.size(cand) - 1)  # null when no element qualifies
+    if tolerance_us is not None:
+        m = F.when(lts - m["__rts"] <= F.lit(int(tolerance_us)), m)
+    matched = j.withColumn("__m", m)
+    return matched.select(
+        *left.columns,
+        F.col("__m.__rts").alias(f"{prefix}{ts}"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
 
 
 def range_join(

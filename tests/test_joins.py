@@ -72,3 +72,49 @@ def test_range_join_no_duplicate_matches_across_buckets(spark):
     iv = _df(spark, [(0, 1000, 9)], "start_us long, end_us long, ivid int")
     got = range_join(pts, iv, "ts_us", "start_us", "end_us", bucket_us=10).collect()
     assert [(r["pid"], r["ivid"]) for r in got] == [(1, 9)]
+
+
+def test_asof_broadcast_strategy_equals_shuffle(spark):
+    """The zero-left-shuffle broadcast strategy is result-identical to the
+    window strategy, including null handling, tolerance, and the
+    equal-(key,ts) tie rule."""
+    import random
+
+    rnd = random.Random(7)
+    left = _df(
+        spark,
+        [(rnd.randrange(5), rnd.randrange(100), f"l{i}") for i in range(200)],
+        "k long, ts_us long, lv string",
+    )
+    right = _df(
+        spark,
+        [(rnd.randrange(5), rnd.randrange(100), f"r{i}") for i in range(60)]
+        + [(1, 50, "dupA"), (1, 50, "dupZ")],  # exercised tie
+        "k long, ts_us long, rv string",
+    )
+    for tol in (None, 10):
+        a = sorted(
+            map(tuple, asof_join(left, right, "k", "ts_us", ["rv"],
+                                 tolerance_us=tol).collect())
+        )
+        b = sorted(
+            map(tuple, asof_join(left, right, "k", "ts_us", ["rv"],
+                                 tolerance_us=tol, strategy="broadcast").collect())
+        )
+        assert a == b
+
+
+def test_asof_broadcast_does_not_shuffle_left(spark):
+    left = _df(spark, [(1, 10, "l")], "k long, ts_us long, lv string")
+    right = _df(spark, [(1, 5, "r")], "k long, ts_us long, rv string")
+    plan = (
+        asof_join(left, right, "k", "ts_us", ["rv"], strategy="broadcast")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # no window / sort-merge machinery: the left side feeds the broadcast
+    # join straight from its scan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    # the only hash-partitioning Exchange is the right-side collect_list
+    # aggregate (the small side); the left is never shuffled
+    assert plan.count("hashpartitioning") <= 1
