@@ -1193,6 +1193,60 @@ GROUP BY err.err_id ORDER BY err.err_id
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split
+    (``ops/sampling.hash_split``): a pure projection (md5-bucket
+    thresholding), no shuffle, engine-independent assignment — the
+    oracle recomputes the identical buckets in DuckDB."""
+    from .ops.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping character-window chunking
+    (``ops/chunking.chunk_documents``, 200 chars / 50 overlap): pure
+    flat-map (sequence + posexplode + substring), zero shuffle."""
+    from .ops.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=200, overlap=50).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+       substring(text, CAST(t.i * 150 + 1 AS INT), 200) AS chunk_text,
+       least(200, length(text) - CAST(t.i * 150 AS INT)) AS chunk_len,
+       CAST(floor((length(text) - 1) / 150) + 1 AS BIGINT) AS n_chunks
+FROM documents,
+     LATERAL unnest(generate_series(0, CAST(floor((length(text) - 1) / 150) AS BIGINT))) AS t(i)
+WHERE length(text) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def all_queries() -> dict:
     return {
         "passage_edges": q_passage_edges,
@@ -1226,6 +1280,8 @@ def all_queries() -> dict:
         "sessionize_events": q_sessionize,
         "asof_join_events": q_asof_join,
         "range_join_error_windows": q_range_join,
+        "hash_split_counts": q_hash_split,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1262,4 +1318,6 @@ def all_oracles() -> dict:
         "sessionize_events": SQL_SESSIONIZE,
         "asof_join_events": SQL_ASOF_JOIN,
         "range_join_error_windows": SQL_RANGE_JOIN,
+        "hash_split_counts": SQL_HASH_SPLIT,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
     }
