@@ -1247,6 +1247,40 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_pack_documents(spark, sf_dir):
+    """Token-budget packing (``ops/packing.pack_documents``): documents
+    sharded by hash, bins cut at capacity boundaries of the per-shard
+    running token offset — the distributed form of training-batch
+    packing (one shuffle + per-shard window scan)."""
+    from .ops.packing import pack_documents
+
+    docs = load(spark, sf_dir, "documents")
+    p = pack_documents(docs, "n_chars", "doc_id", capacity=5000, num_shards=8)
+    return (
+        p.groupBy("shard", "bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_tokens"))
+        .orderBy("shard", "bin_id")
+    )
+
+
+SQL_PACK_DOCUMENTS = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000) % 8 AS shard
+  FROM documents
+), ofs AS (
+  SELECT shard, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM s
+)
+SELECT shard, CAST(floor(start_offset / 5000) AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+FROM ofs GROUP BY shard, bin_id ORDER BY shard, bin_id
+"""
+
+
 def all_queries() -> dict:
     return {
         "passage_edges": q_passage_edges,
@@ -1282,6 +1316,7 @@ def all_queries() -> dict:
         "range_join_error_windows": q_range_join,
         "hash_split_counts": q_hash_split,
         "chunk_documents": q_chunk_documents,
+        "pack_documents_bins": q_pack_documents,
     }
 
 
@@ -1320,4 +1355,5 @@ def all_oracles() -> dict:
         "range_join_error_windows": SQL_RANGE_JOIN,
         "hash_split_counts": SQL_HASH_SPLIT,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "pack_documents_bins": SQL_PACK_DOCUMENTS,
     }
