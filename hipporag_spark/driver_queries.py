@@ -1281,6 +1281,42 @@ FROM ofs GROUP BY shard, bin_id ORDER BY shard, bin_id
 """
 
 
+def q_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (``ops/textstats.tfidf``):
+    two partial-agg shuffles + a broadcast of the tiny (term, df) side +
+    per-doc window top-k. Deterministic (score desc, term asc) tie-break
+    pinned on both engines."""
+    from .ops.textstats import tfidf
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf(docs, top_k=5).select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term", "tfidf"
+    ).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF = """
+WITH words AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> length(x) > 0)) AS w
+        FROM documents)
+), tf AS (SELECT doc_id, term, count(*) AS tc FROM words GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((tf.tc * 1.0 / dl.dl) * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1), 6) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+
 def all_queries() -> dict:
     return {
         "passage_edges": q_passage_edges,
@@ -1317,6 +1353,7 @@ def all_queries() -> dict:
         "hash_split_counts": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "pack_documents_bins": q_pack_documents,
+        "tfidf_top_terms": q_tfidf,
     }
 
 
@@ -1356,4 +1393,5 @@ def all_oracles() -> dict:
         "hash_split_counts": SQL_HASH_SPLIT,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "pack_documents_bins": SQL_PACK_DOCUMENTS,
+        "tfidf_top_terms": SQL_TFIDF,
     }

@@ -95,3 +95,50 @@ def fingerprint(documents: DataFrame, base: int = 7, cycle: int = 11) -> DataFra
         .groupBy("doc_id")
         .agg(F.sum(F.col("h") * F.col("pw")).alias("fingerprint"))
     )
+
+
+def tfidf(documents: DataFrame, top_k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic two-aggregation
+    relational plan: explode words → per-(doc, term) counts → join
+    per-term document frequencies → score → per-doc window top-k.
+
+    Scale shape: both aggregations are partial (map-side combine) before
+    their exchanges; the document-frequency side is one row per distinct
+    term, orders of magnitude smaller than the corpus — Catalyst
+    broadcasts it (AQE decides from runtime stats). The final top-k is a
+    window over (doc, ≤|vocab ∩ doc|) rows, partitioned by doc. Smoothed
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's convention); tf = raw count /
+    doc token count.
+
+    Deterministic tie-break: (score desc, term asc) — pinned so the
+    DuckDB oracle hash-matches.
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
+    doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = documents.select(F.countDistinct("doc_id").alias("__n"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tc") / F.col("dl"))
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

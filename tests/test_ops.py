@@ -296,3 +296,26 @@ def test_ivf_clustered_recall(spark):
         if r["vec_id"] in bf_sets[r["query_id"]]:
             hits += 1
     assert hits / (len(bf_sets) * 10) >= 0.9, f"recall {hits / (len(bf_sets) * 10)}"
+
+
+def test_tfidf_hand_computed(spark):
+    """3-doc corpus with a shared term and a unique term: unique terms
+    outscore shared ones; tf scales with in-doc frequency."""
+    import math
+
+    from hipporag_spark.ops.textstats import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "banana cherry")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["rank"], r["tfidf"])
+        for r in tfidf(docs, top_k=3).collect()
+    }
+    idf2 = math.log(4 / 3) + 1  # df=2 for every term here, n=3
+    # doc 1: apple tf=2/3, banana tf=1/3 — same idf → apple ranks first
+    assert got[(1, "apple")][0] == 1 and got[(1, "banana")][0] == 2
+    assert got[(1, "apple")][1] == round(2 / 3 * idf2, 6)
+    # doc 2 tie at tf=1/2: term-asc tie-break → apple before cherry
+    assert got[(2, "apple")][0] == 1 and got[(2, "cherry")][0] == 2
