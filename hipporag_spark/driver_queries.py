@@ -1317,6 +1317,83 @@ SELECT doc_id, rank, term, tfidf FROM (
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (``ops/decontam.contamination``): the
+    deterministic md5-bucket eval subset is broadcast as a distinct
+    shingle set; the train side is explode + broadcast-hash left join +
+    one map-side-combinable per-doc aggregation."""
+    from .ops.decontam import contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return contamination(docs).orderBy("doc_id")
+
+
+SQL_CONTAMINATION = f"""
+WITH ev AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'decontam'), 1, 8)) AS BIGINT)
+        % 10000 < 500
+), evsh AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({_SH3}) AS s FROM documents JOIN ev USING (doc_id)
+  )
+), trsh AS (
+  SELECT doc_id, unnest({_SH3}) AS s
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+)
+SELECT t.doc_id, count(*) AS n_shingles,
+       CAST(count(e.s) AS BIGINT) AS n_contaminated,
+       round(count(e.s) * 1.0 / count(*), 6) AS contamination,
+       count(e.s) * 1.0 / count(*) >= 0.8 AS flagged
+FROM trsh t LEFT JOIN evsh e USING (s)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def _sh_all(k: int) -> str:
+    """Non-distinct word k-gram list (mirrors ops.dedup.shingles without
+    the dedup — repetition counting needs every occurrence)."""
+    ws = "string_split(lower(text),' ')"
+    return (
+        f"CASE WHEN len({ws}) < {k} THEN [lower(text)] "
+        f"ELSE list_transform(generate_series(1, len({ws}) - {k - 1}), "
+        f"i -> array_to_string(list_slice({ws}, i, i + {k - 1}), ' ')) END"
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (``ops/textstats.repetition_stats``):
+    two (doc, gram) partial-agg count shuffles + a per-doc rollup, all JVM
+    built-ins."""
+    from .ops.textstats import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+SQL_REPETITION = f"""
+WITH bg AS (
+  SELECT doc_id, unnest({_sh_all(2)}) AS g FROM documents
+), bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bi AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+  FROM bc GROUP BY doc_id
+), tg AS (
+  SELECT doc_id, unnest({_sh_all(3)}) AS g FROM documents
+), tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+tri AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+           AS dup_trigram_frac
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
+       (top_bigram_frac > 0.20 OR dup_trigram_frac > 0.30) AS flagged
+FROM bi JOIN tri USING (doc_id) ORDER BY doc_id
+"""
+
+
 def all_queries() -> dict:
     return {
         "passage_edges": q_passage_edges,
@@ -1354,6 +1431,8 @@ def all_queries() -> dict:
         "chunk_documents": q_chunk_documents,
         "pack_documents_bins": q_pack_documents,
         "tfidf_top_terms": q_tfidf,
+        "decontamination": q_contamination,
+        "repetition_filters": q_repetition,
     }
 
 
@@ -1394,4 +1473,6 @@ def all_oracles() -> dict:
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "pack_documents_bins": SQL_PACK_DOCUMENTS,
         "tfidf_top_terms": SQL_TFIDF,
+        "decontamination": SQL_CONTAMINATION,
+        "repetition_filters": SQL_REPETITION,
     }

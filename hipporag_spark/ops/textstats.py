@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import shingles as shingles_of
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 # tiny marker dictionaries for the n-gram/stopword language-ID heuristic;
@@ -141,4 +143,52 @@ def tfidf(documents: DataFrame, top_k: int = 5) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, table A1
+    — public recipe): ``(doc_id, n_bigrams, top_bigram_frac,
+    dup_trigram_frac, flagged)``.
+
+    top_bigram_frac  = occurrences of the single most frequent word
+    2-gram / total 2-gram occurrences; dup_trigram_frac = fraction of
+    3-gram occurrences whose gram appears more than once in the doc.
+    ``flagged`` marks machine-generated/boilerplate-repetitive docs at
+    the published thresholds (top 2-gram > 0.20, duplicated 3-grams
+    > 0.30).
+
+    Scale shape: two explode → ``groupBy(doc_id, gram)`` counts, each
+    with map-side partial aggregation, then a per-doc rollup — the
+    exchanges are keyed by (doc, gram) so hub grams never concentrate;
+    everything is JVM built-ins (no Python in the plan).
+    """
+    def gram_counts(k: int):
+        return (
+            documents.select(
+                "doc_id", F.explode(shingles_of(F.col("text"), k)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    bi = gram_counts(2).groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+    )
+    tri = gram_counts(3).groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("dup_trigram_frac")
+    )
+    return bi.join(tri, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_bigram_frac") > 0.20) | (F.col("dup_trigram_frac") > 0.30)
+        ).alias("flagged"),
     )

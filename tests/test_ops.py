@@ -319,3 +319,61 @@ def test_tfidf_hand_computed(spark):
     assert got[(1, "apple")][1] == round(2 / 3 * idf2, 6)
     # doc 2 tie at tf=1/2: term-asc tie-break → apple before cherry
     assert got[(2, "apple")][0] == 1 and got[(2, "cherry")][0] == 2
+
+
+def test_repetition_stats_hand_computed(spark):
+    from hipporag_spark.ops.textstats import repetition_stats
+
+    # "a b a b a": bigrams = [a b, b a, a b, b a] -> 4 total, top "a b" 2/4
+    # trigrams = [a b a, b a b, a b a] -> "a b a" twice of 3 -> dup 2/3
+    # "x y z": bigrams [x y, y z] top 1/2; trigrams [x y z] dup 0
+    docs = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[0]["n_bigrams"] == 4
+    assert rows[0]["top_bigram_frac"] == 0.5
+    assert rows[0]["dup_trigram_frac"] == round(2 / 3, 6)
+    assert rows[0]["flagged"] is True
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["top_bigram_frac"] == 0.5
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    assert rows[1]["flagged"] is True  # top bigram 0.5 > 0.20 on a tiny doc
+
+
+def test_contamination_hand_computed(spark):
+    from hipporag_spark.ops.decontam import contamination
+
+    # explicit eval set: doc 9 is the benchmark; train docs 0/1 share
+    # 3-grams with it or not
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),   # shingles: 3, one = eval's
+            (1, "totally different words here"),
+            (9, "quick brown fox sits still"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") == 9)
+    rows = {r["doc_id"]: r for r in contamination(docs, eval_docs=ev).collect()}
+    assert set(rows) == {0, 1}  # eval doc excluded from train output
+    # doc 0 shingles: {the quick brown, quick brown fox, brown fox jumps};
+    # eval has "quick brown fox" -> 1/3
+    assert rows[0]["n_shingles"] == 3
+    assert rows[0]["n_contaminated"] == 1
+    assert rows[0]["contamination"] == round(1 / 3, 6)
+    assert rows[0]["flagged"] is False
+    assert rows[1]["n_contaminated"] == 0
+    assert rows[1]["flagged"] is False
+
+
+def test_contamination_flags_exact_copy(spark):
+    from hipporag_spark.ops.decontam import contamination
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (9, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") == 9)
+    r = contamination(docs, eval_docs=ev).collect()
+    assert len(r) == 1 and r[0]["contamination"] == 1.0 and r[0]["flagged"] is True
