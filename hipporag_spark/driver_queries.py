@@ -363,6 +363,56 @@ def _lp_words_sql(rounds: int = 10) -> str:
     )
 
 
+def q_kcore_words(spark, sf_dir):
+    """k-core membership + in-core degree of the word graph
+    (``algo/kcore.k_core``, synchronous peeling to fixpoint). Output is
+    id-free: (word, core_degree)."""
+    from .algo.kcore import k_core
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    core, _ = k_core(spark, adjacency(e), ids.select("id"), k=16, num_blocks=8)
+    return (
+        core.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", "core_degree")
+        .orderBy("word")
+    )
+
+
+def _kcore_round(r: int, k: int) -> str:
+    """One peel round: induced degree over the surviving set, keep ≥ k —
+    exactly kcore.py's superstep."""
+    p = f"a{r - 1}"
+    return f"""a{r} AS MATERIALIZED (
+  SELECT src AS id FROM (
+    SELECT e.a AS src, count(*) AS d
+    FROM nbrs e JOIN {p} s ON s.id = e.a JOIN {p} t ON t.id = e.b
+    GROUP BY e.a
+  ) WHERE d >= {k}
+)"""
+
+
+def _kcore_words_sql(k: int = 16, rounds: int = 6) -> str:
+    """Peeling UNROLLED (ppr_docs/cc_words oracle technique): rounds past
+    the fixpoint are no-ops, so any unroll ≥ the actual peel depth (1–2 on
+    this near-complete co-occurrence graph, measured) is exact."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), a0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id FROM nbrs
+)"""
+    ctes = [head] + [_kcore_round(r, k) for r in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT e.a AS word, count(*) AS core_degree
+FROM nbrs e JOIN a{rounds} s ON s.id = e.a JOIN a{rounds} t ON t.id = e.b
+GROUP BY e.a ORDER BY word"""
+    )
+
+
 def q_triangles_per_vertex(spark, sf_dir):
     """Per-vertex triangle counts of the word graph (networkx.triangles
     semantics: every triangle increments all three corners); only vertices
@@ -1401,6 +1451,7 @@ def all_queries() -> dict:
         "connected_components_star": q_cc_star,
         "connected_components_words": q_cc_words,
         "label_propagation_words": q_label_prop_words,
+        "kcore_words": q_kcore_words,
         "triangle_count_words": q_triangles_words,
         "triangles_per_vertex": q_triangles_per_vertex,
         "ppr_docs": q_ppr_docs,
@@ -1443,6 +1494,7 @@ def all_oracles() -> dict:
         "connected_components_star": SQL_CC_STAR,
         "connected_components_words": _cc_words_sql(),
         "label_propagation_words": _lp_words_sql(),
+        "kcore_words": _kcore_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "ppr_docs": _ppr_docs_sql(),

@@ -230,3 +230,52 @@ def test_blocked_ppr_restores_shuffle_partitions(spark):
     assert np.allclose(got, ppr_reference(n, edges, reset, 0.5), atol=1e-6)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+
+
+def test_kcore_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.kcore import k_core
+
+    n = 40
+    edges = random_multigraph(n, 160, 29)
+    adj, st, vids = make_graph(spark, n, edges)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    for u, v, _ in edges:
+        G.add_edge(u, v)
+    for k in (2, 3, 5):
+        core, lineage = k_core(spark, adj, vids, k=k, num_blocks=4)
+        got = {r["id"]: r["core_degree"] for r in core.collect()}
+        want = nx.k_core(G, k)
+        assert set(got) == set(want.nodes)
+        for node in want.nodes:
+            assert got[node] == want.degree(node)
+        assert lineage[-1]["converged"]
+
+
+def test_kcore_chain_cascade(spark):
+    """Path graph, k=2: every round peels the two endpoints — the peel
+    cascade runs ~n/2 rounds and ends empty (exercises multi-round
+    convergence, unlike dense fixtures that peel in one round)."""
+    from hipporag_spark.algo.kcore import k_core
+
+    n = 10
+    edges = [(i, i + 1, 1.0) for i in range(n - 1)]
+    adj, st, vids = make_graph(spark, n, edges)
+    core, lineage = k_core(spark, adj, vids, k=2, num_blocks=2)
+    assert core.count() == 0
+    peels = [e for e in lineage if e["removed"] > 0]
+    assert len(peels) == 5  # endpoints shed pairwise: 10 → 8 → ... → 0
+    assert lineage[-1]["converged"]
+
+
+def test_kcore_triangle_with_tail(spark):
+    """Triangle + pendant tail, k=2: tail peels over two rounds, the
+    triangle survives with in-core degree 2 each."""
+    from hipporag_spark.algo.kcore import k_core
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    adj, st, vids = make_graph(spark, 5, edges)
+    core, _ = k_core(spark, adj, vids, k=2, num_blocks=2)
+    got = {r["id"]: r["core_degree"] for r in core.collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
