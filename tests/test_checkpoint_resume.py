@@ -131,3 +131,34 @@ def test_lp_kill_and_resume(spark, tmp_path):
     assert got == want
     # resumed run executed only the remaining rounds
     assert lin2[-1]["superstep"] == lin1[-1]["superstep"] + (6 - 2) or lin2[-1]["converged"]
+
+
+def test_kcore_kill_and_resume(spark, tmp_path):
+    """k-core peeling resumes mid-cascade from the superstep checkpoint;
+    the path-graph fixture guarantees 5 peel rounds, so max_iter=2 stops
+    genuinely mid-run."""
+    from hipporag_spark.algo.kcore import k_core
+
+    n = 10
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    adj = adjacency(e).persist()
+    vids = spark.range(n).select(F.col("id"))
+    ckdir = str(tmp_path / "ck5")
+
+    full, full_lin = k_core(spark, adj, vids, k=2, num_blocks=2)
+    want = {(r["id"], r["core_degree"]) for r in full.collect()}
+
+    part1, lin1 = k_core(
+        spark, adj, vids, k=2, num_blocks=2, checkpoint_dir=ckdir,
+        run_id="kc1", max_iter=2,
+    )
+    assert not lin1[-1]["converged"]
+    part2, lin2 = k_core(
+        spark, adj, vids, k=2, num_blocks=2, checkpoint_dir=ckdir, run_id="kc1"
+    )
+    got = {(r["id"], r["core_degree"]) for r in part2.collect()}
+    assert got == want
+    # resumed run executed only the remaining rounds
+    assert lin2[-1]["superstep"] == len(full_lin) - 1
