@@ -722,6 +722,51 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup dedup (``ops/dedup.dedup_clusters``): LSH
+    candidates → Jaccard ≥ 0.8 → connected components → min-id keeper."""
+    from .ops.dedup import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_clusters(docs).orderBy("doc_id")
+
+
+def _dedup_clusters_sql(rounds: int = 8) -> str:
+    """Verified-pair graph + the cc_words unrolled min-label/pointer-jump
+    rounds (near-dup clusters are tiny — 8 jumping rounds cover radius
+    2^8 ≫ any cluster chain)."""
+    head = f"""WITH sig AS (
+  SELECT doc_id, {_minhash_sql_expr(8, 3)} AS sig FROM documents
+), buckets AS (
+  SELECT doc_id, '0|' || sig[1] || '|' || sig[2] AS bucket FROM sig
+  UNION ALL SELECT doc_id, '1|' || sig[3] || '|' || sig[4] FROM sig
+  UNION ALL SELECT doc_id, '2|' || sig[5] || '|' || sig[6] FROM sig
+  UNION ALL SELECT doc_id, '3|' || sig[7] || '|' || sig[8] FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, {_SH3} AS sh FROM documents
+), ver AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.8
+), nbrs AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM ver
+  UNION SELECT doc_b AS a, doc_a AS b FROM ver
+), c0 AS MATERIALIZED (
+  SELECT doc_id AS id, doc_id AS lab FROM documents
+)"""
+    ctes = [head] + [_cc_words_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT id AS doc_id, lab AS cluster, id = lab AS keeper
+FROM c{rounds} ORDER BY doc_id"""
+    )
+
+
 def q_simhash(spark, sf_dir):
     """16-bit md5 variant: the one whose word hash exists bit-identically
     in DuckDB (oracle parity). Production default is 64-bit xxhash64
@@ -1459,6 +1504,7 @@ def all_queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1502,6 +1548,7 @@ def all_oracles() -> dict:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash": SQL_SIMHASH,
         "simhash_near_pairs": SQL_SIMHASH_PAIRS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -299,3 +299,52 @@ def embedding_near_dup(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = SHINGLE_K,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """The end-to-end near-dup dedup pipeline: LSH candidates → exact
+    Jaccard verification → connected components over surviving pairs →
+    one canonical keeper per cluster.
+
+    This is the production shape (pair emission alone under-deletes:
+    A≈B≈C with A~C below threshold still forms one cluster through B, and
+    transitively-linked groups must keep exactly ONE doc). Returns one row
+    per input doc: ``(doc_id, cluster, keeper)`` with cluster = min doc_id
+    reachable through verified near-dup pairs (singletons cluster to
+    themselves) and keeper = (doc_id == cluster), the deterministic
+    min-id survivor rule.
+
+    Scale shape: candidate generation is the banded bucket join (never
+    all-pairs); verification touches only candidate pairs; the CC runs on
+    the verified-pair graph, which is orders of magnitude smaller than
+    the corpus (near-dup clusters are tiny), via the same exact min-label
+    + pointer-jumping job the graph layer uses (:mod:`..algo.components`).
+    """
+    from ..algo.components import connected_components
+    from ..graph.build import adjacency
+
+    pairs = minhash_lsh_pairs(documents, num_hashes, bands, k)
+    verified = ngram_jaccard(documents, pairs, k).filter(
+        F.col("jaccard") >= threshold
+    )
+    e = verified.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    vids = documents.select(F.col("doc_id").alias("id"))
+    comp, _ = connected_components(
+        documents.sparkSession, adjacency(e), vids, num_blocks=num_blocks or 8
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("keeper"),
+    )

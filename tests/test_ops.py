@@ -377,3 +377,33 @@ def test_contamination_flags_exact_copy(spark):
     ev = docs.filter(F.col("doc_id") == 9)
     r = contamination(docs, eval_docs=ev).collect()
     assert len(r) == 1 and r[0]["contamination"] == 1.0 and r[0]["flagged"] is True
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    from hipporag_spark.ops.dedup import dedup_clusters, ngram_jaccard, minhash_lsh_pairs
+
+    base = "w%d " * 20
+    words = [f"w{i}" for i in range(20)]
+    A = " ".join(words)
+    B = " ".join(["x0"] + words[1:])            # differs in shingle 1
+    C = " ".join(["x0"] + words[1:-1] + ["x19"])  # differs from B in last shingle
+    D = "totally unrelated content here"
+    docs = spark.createDataFrame(
+        [(0, A), (1, B), (2, C), (3, D)], "doc_id long, text string"
+    )
+    # construction sanity: A~B and B~C above 0.85, A~C below (transitive link)
+    pairs = minhash_lsh_pairs(docs)
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard(docs, pairs).collect()
+    }
+    assert jac[(0, 1)] >= 0.85 and jac[(1, 2)] >= 0.85
+    assert (0, 2) not in jac or jac[(0, 2)] < 0.85
+
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, threshold=0.85).collect()}
+    assert len(out) == 4  # one row per input doc, singletons included
+    # A-B-C chain collapses to ONE cluster through B despite A~C < threshold
+    assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"] == 0
+    assert out[0]["keeper"] is True
+    assert out[1]["keeper"] is False and out[2]["keeper"] is False
+    assert out[3]["cluster"] == 3 and out[3]["keeper"] is True
