@@ -216,6 +216,16 @@ def main() -> None:
     total_tri = bench("triangle_count", lambda: triangle_count(adj)[1])
     extras["triangles"] = total_tri
 
+    from hipporag_spark.algo.kcore import k_core
+
+    def run_kcore():
+        core, kc_lin = k_core(spark, adj, verts.select("id"), k=3, num_blocks=blocks)
+        core.count()
+        return kc_lin
+
+    kc_lin = bench("k_core", run_kcore)
+    extras["kcore_peel_rounds"] = len(kc_lin)
+
     # ---- pipeline ops over the driver testdata ----
     from hipporag_spark import driver_queries as dq
 
@@ -225,6 +235,10 @@ def main() -> None:
         "token_stats",
         "sessionize_events",
         "asof_join_events",
+        "dedup_clusters",
+        "tfidf_top_terms",
+        "decontamination",
+        "pack_documents_bins",
     ]:
         bench(name, lambda name=name: dq.all_queries()[name](spark, sf_dir).count())
 
