@@ -1489,6 +1489,88 @@ FROM bi JOIN tri USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_dup_windows(spark, sf_dir):
+    """Substring-level duplication profile (``ops/dedup.dup_ngram_windows``):
+    fraction of each doc's sliding word 8-gram windows that occur in ≥1
+    other document — the distributed re-expression of Lee et al. 2022's
+    duplicate-substring removal. String gram keys here for bit-exact
+    oracle parity; production passes ``hash_grams=True`` (8-byte
+    ``xxhash64`` join keys)."""
+    from .ops.dedup import dup_ngram_windows
+
+    docs = load(spark, sf_dir, "documents")
+    return dup_ngram_windows(docs, k=8).orderBy("doc_id")
+
+
+SQL_DUP_WINDOWS = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_sh_all(8)}) AS gram FROM documents
+), pdg AS (
+  SELECT doc_id, gram, count(*) AS n_pos FROM g GROUP BY doc_id, gram
+), freq AS (
+  SELECT gram, count(*) AS ndocs FROM pdg GROUP BY gram
+)
+SELECT doc_id,
+       CAST(sum(n_pos) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN n_pos ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(sum(CASE WHEN ndocs >= 2 THEN n_pos ELSE 0 END) * 1.0 / sum(n_pos), 6)
+         AS dup_fraction
+FROM pdg JOIN freq USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII count + redact (``ops/redact.redact_pii``): zero-shuffle JVM
+    regex projection. The synthetic corpus carries no PII, so the query
+    first seeds deterministic emails/IPs/phones into every 5th doc with
+    the SAME expression the oracle uses — the operator under test is the
+    detector/redactor, not the seeding."""
+    from .ops.redact import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com on 10.1.2."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(" or 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(seeded).orderBy("doc_id")
+
+
+SQL_PII = """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com on 10.1.2.' || CAST(doc_id % 256 AS VARCHAR)
+                || ' or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+       len(regexp_extract_all(text, '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS redacted_text
+FROM seeded ORDER BY doc_id
+"""
+
+
 def all_queries() -> dict:
     return {
         "passage_edges": q_passage_edges,
@@ -1530,6 +1612,8 @@ def all_queries() -> dict:
         "tfidf_top_terms": q_tfidf,
         "decontamination": q_contamination,
         "repetition_filters": q_repetition,
+        "dup_ngram_windows": q_dup_windows,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -1574,4 +1658,6 @@ def all_oracles() -> dict:
         "tfidf_top_terms": SQL_TFIDF,
         "decontamination": SQL_CONTAMINATION,
         "repetition_filters": SQL_REPETITION,
+        "dup_ngram_windows": SQL_DUP_WINDOWS,
+        "pii_redaction": SQL_PII,
     }

@@ -348,3 +348,66 @@ def dedup_clusters(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("keeper"),
     )
+
+
+def dup_ngram_windows(
+    documents: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Substring-level duplication profile: per document, the fraction of
+    its sliding word ``k``-gram windows that also occur in at least
+    ``min_docs - 1`` OTHER documents.
+
+    The document-granular dedup family above (MinHash/SimHash/exact) misses
+    the dominant contamination mode in web-scale pretraining corpora:
+    boilerplate PASSAGES (headers, licenses, navigation chrome) pasted into
+    otherwise-unique pages. The public recipe (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") removes
+    duplicate substrings of ~50 tokens; a suffix array is inherently
+    sequential, so the distributed re-expression is the standard sliding
+    k-gram window equivalent: a window is duplicated iff its k-gram occurs
+    in another document.
+
+    Returns ``(doc_id, n_windows, n_dup_windows, dup_fraction)`` — one row
+    per doc, ``dup_fraction`` rounded to 6dp. Docs shorter than ``k`` words
+    count their whole text as one window (same convention as
+    :func:`shingles`).
+
+    Scale shape: two shuffles, both keyed on the gram. (1) a map-side
+    combinable per-``(doc, gram)`` count collapse, (2) a gram-frequency
+    aggregate joined back to the per-doc rows. Hub grams ("the of and …")
+    are high-fanout on the JOIN side but the join key cardinality is the
+    distinct-gram count, and AQE's skew-join split handles the residue.
+    With ``hash_grams=True`` the join/agg key is ``xxhash64(gram)`` (8
+    bytes) instead of the ~6k-byte string — the 100 TB default; collisions
+    only ever MARK a window duplicated (never unmark), with expected extra
+    marks ≈ G²/2⁶⁴ for G distinct grams (≪1 per 10⁹ grams). Kept off here
+    so the DuckDB oracle can reproduce counts bit-for-bit on the string key.
+    """
+    gram = F.explode(shingles(F.col("text"), k)).alias("gram")
+    per_doc_gram = (
+        documents.select("doc_id", gram)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n_pos"))
+    )
+    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    per_doc_gram = per_doc_gram.select("doc_id", key.alias("gkey"), "n_pos")
+    gram_freq = per_doc_gram.groupBy("gkey").agg(
+        F.count("*").alias("ndocs")
+    )
+    return (
+        per_doc_gram.join(gram_freq, "gkey")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") >= min_docs, F.col("n_pos")).otherwise(F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )

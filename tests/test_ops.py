@@ -407,3 +407,57 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     assert out[0]["keeper"] is True
     assert out[1]["keeper"] is False and out[2]["keeper"] is False
     assert out[3]["cluster"] == 3 and out[3]["keeper"] is True
+
+
+def test_dup_ngram_windows_boilerplate_detection(spark):
+    from hipporag_spark.ops.dedup import dup_ngram_windows
+
+    boiler = "this license text is shared navigation chrome boilerplate"  # 9 words
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " unique tail zero alpha beta gamma delta epsilon"),
+            (1, boiler + " other tail one zeta eta theta iota kappa"),
+            (2, "entirely different words that never repeat anywhere in corpus x y"),
+            (3, "tiny doc"),  # < k words → whole text is one window
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_windows(docs, k=8).collect()}
+    # doc 0: 8 boiler + 8 tail = 16 words → 9 windows; only the window fully
+    # inside the 8-word boilerplate prefix (position 1) also occurs in doc 1
+    assert out[0]["n_windows"] == 9 and out[0]["n_dup_windows"] == 1
+    assert out[1]["n_windows"] == 9 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_dup_windows"] == 0
+    assert out[3]["n_windows"] == 1 and out[3]["n_dup_windows"] == 0
+    assert abs(out[0]["dup_fraction"] - round(1 / 9, 6)) < 1e-9
+
+    # the 100 TB key mode (xxhash64 gram keys) computes identical counts
+    hashed = {r["doc_id"]: r for r in dup_ngram_windows(docs, k=8, hash_grams=True).collect()}
+    assert {k: (v["n_windows"], v["n_dup_windows"]) for k, v in out.items()} == {
+        k: (v["n_windows"], v["n_dup_windows"]) for k, v in hashed.items()
+    }
+
+
+def test_redact_pii_counts_and_rewrite(spark):
+    from hipporag_spark.ops.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.user+tag@sub.example.org now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (2, "call 555-123-4567 or 555.987.6543"),
+            (3, "mixed bob@x.io on 8.8.8.8 dial 111-222-3333"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 0, 0)
+    assert out[0]["redacted_text"] == "mail <EMAIL> now"
+    assert (out[1]["n_emails"], out[1]["n_ips"]) == (0, 2)
+    assert out[1]["redacted_text"] == "server at <IP> and <IP> up"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted_text"] == "call <PHONE> or <PHONE>"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (1, 1, 1)
+    assert out[3]["redacted_text"] == "mixed <EMAIL> on <IP> dial <PHONE>"
+    assert out[4]["redacted_text"] == "clean text with no identifiers at all"
