@@ -239,8 +239,19 @@ def main() -> None:
         "tfidf_top_terms",
         "decontamination",
         "pack_documents_bins",
+        "pii_redaction",
     ]:
         bench(name, lambda name=name: dq.all_queries()[name](spark, sf_dir).count())
+
+    # substring-level dup profile in its 100 TB key mode (xxhash64 gram
+    # keys — the driver-oracle variant keys on strings for parity)
+    from hipporag_spark.ops.dedup import dup_ngram_windows
+
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench(
+        "dup_ngram_windows",
+        lambda: dup_ngram_windows(docs_df, k=8, hash_grams=True).count(),
+    )
 
     # compute-bound exact KNN: all-pairs blocked cogroup matmul over the
     # embeddings table replicated R× (O((Rn)²·d) FLOPs). Block count from

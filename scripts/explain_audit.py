@@ -118,6 +118,28 @@ def main() -> None:
          ["partial_count", "!ArrowEvalPython", "!BatchEvalPython"])
     )
 
+    # 9. PII redaction: a pure projection — zero Exchange, zero Python,
+    #    scan reads only (doc_id, text)
+    from hipporag_spark.ops.redact import redact_pii
+
+    p = plan_of(redact_pii(docs))
+    sections.append(
+        ("pii_redaction zero-shuffle projection", p,
+         ["ReadSchema: struct<doc_id:bigint,text:string>", "!Exchange",
+          "!ArrowEvalPython", "!BatchEvalPython"])
+    )
+
+    # 10. duplicate-window profile: pruned scan + partial aggregation before
+    #     the gram exchange; all-JVM
+    from hipporag_spark.ops.dedup import dup_ngram_windows
+
+    p = plan_of(dup_ngram_windows(docs, k=8, hash_grams=True))
+    sections.append(
+        ("dup_ngram_windows partial aggs + pruned scan", p,
+         ["ReadSchema: struct<doc_id:bigint,text:string>", "partial_count",
+          "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"])
+    )
+
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     ok = True
     with open(out_path, "w") as f:
