@@ -216,6 +216,17 @@ def main() -> None:
     total_tri = bench("triangle_count", lambda: triangle_count(adj)[1])
     extras["triangles"] = total_tri
 
+    from hipporag_spark.algo.sssp import shortest_paths
+
+    def run_sssp():
+        srcs = verts.select("id").orderBy("id").limit(4)
+        dist, sp_lin = shortest_paths(spark, adj, srcs, num_blocks=blocks)
+        dist.count()
+        return sp_lin
+
+    sp_lin = bench("shortest_paths", run_sssp)
+    extras["sssp_supersteps"] = len(sp_lin)
+
     from hipporag_spark.algo.kcore import k_core
 
     def run_kcore():

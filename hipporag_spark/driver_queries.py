@@ -1489,6 +1489,58 @@ FROM bi JOIN tri USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_sssp_words(spark, sf_dir):
+    """Hop distances from the lexicographically smallest word over the
+    generic word graph (``algo/sssp.shortest_paths``, frontier-sparse
+    Bellman-Ford supersteps). Output is id-free ``(word, dist)`` — only
+    REACHED words appear, which also pins the sparse-state contract
+    against the oracle's reached set."""
+    from .algo.sssp import shortest_paths
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    # unit weights: adjacency() sums parallel-edge weights, hop semantics
+    # want exactly 1 per neighbor pair
+    adj = adjacency(e).withColumn("weight", F.lit(1.0))
+    src = ids.orderBy("id").limit(1).select("id")
+    dist, _ = shortest_paths(spark, adj, src, num_blocks=8)
+    return (
+        dist.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", F.round("dist", 6).alias("dist"))
+        .orderBy("word")
+    )
+
+
+def _sssp_round(k: int) -> str:
+    p = f"d{k - 1}"
+    return f"""d{k} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM {p}
+    UNION ALL
+    SELECT nb.b AS id, d.dist + 1.0 AS dist FROM {p} d JOIN nbrs nb ON nb.a = d.id
+  ) GROUP BY id
+)"""
+
+
+def _sssp_words_sql(rounds: int = 15) -> str:
+    """Unrolled min-plus relaxation (the ppr_docs/cc_words oracle
+    technique). Each round reaches one more hop; the word co-occurrence
+    graph is small-world (diameter ≪ 15 at any test SF), and rounds past
+    the fixed point are no-ops."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), d0 AS MATERIALIZED (
+  SELECT min(a) AS id, 0.0 AS dist FROM nbrs
+)"""
+    ctes = [head] + [_sssp_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"\nSELECT id AS word, round(dist, 6) AS dist FROM d{rounds} ORDER BY word"
+    )
+
+
 def q_dup_windows(spark, sf_dir):
     """Substring-level duplication profile (``ops/dedup.dup_ngram_windows``):
     fraction of each doc's sliding word 8-gram windows that occur in ≥1
@@ -1579,6 +1631,7 @@ def all_queries() -> dict:
         "connected_components_words": q_cc_words,
         "label_propagation_words": q_label_prop_words,
         "kcore_words": q_kcore_words,
+        "sssp_words": q_sssp_words,
         "triangle_count_words": q_triangles_words,
         "triangles_per_vertex": q_triangles_per_vertex,
         "ppr_docs": q_ppr_docs,
@@ -1625,6 +1678,7 @@ def all_oracles() -> dict:
         "connected_components_words": _cc_words_sql(),
         "label_propagation_words": _lp_words_sql(),
         "kcore_words": _kcore_words_sql(),
+        "sssp_words": _sssp_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "ppr_docs": _ppr_docs_sql(),

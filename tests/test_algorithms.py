@@ -279,3 +279,47 @@ def test_kcore_triangle_with_tail(spark):
     core, _ = k_core(spark, adj, vids, k=2, num_blocks=2)
     got = {r["id"]: r["core_degree"] for r in core.collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_sssp_matches_networkx_weighted(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.sssp import shortest_paths
+
+    n = 30
+    edges = random_multigraph(n, 120, 31)
+    # deterministic positive weights derived from endpoints
+    edges = [(u, v, 1.0 + ((u * 7 + v * 3) % 5)) for u, v, _ in edges]
+    adj, st, vids = make_graph(spark, n, edges)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    for u, v, w in edges:
+        # adjacency() sums parallel edges per direction pair; mirror that
+        if G.has_edge(u, v):
+            G[u][v]["weight"] += w
+        else:
+            G.add_edge(u, v, weight=w)
+    src = spark.createDataFrame([(0,), (7,)], "id long")
+    dist, lineage = shortest_paths(spark, adj, src, num_blocks=4)
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    want = {}
+    for node, d in nx.multi_source_dijkstra_path_length(G, {0, 7}, weight="weight").items():
+        want[node] = d
+    assert set(got) == set(want)  # reached set identical (sparse state)
+    for node, d in want.items():
+        assert abs(got[node] - d) < 1e-9
+    assert lineage[-1]["converged"]
+
+
+def test_sssp_hop_distance_and_unreachable(spark):
+    from hipporag_spark.algo.sssp import shortest_paths
+
+    # two components: a path 0-1-2-3 and an isolated pair 4-5
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (4, 5, 1.0)]
+    adj, st, vids = make_graph(spark, 6, edges)
+    src = spark.createDataFrame([(0,)], "id long")
+    dist, lineage = shortest_paths(spark, adj, src, num_blocks=2)
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}  # 4,5 never materialize
+    # path graph: the frontier advances one hop per superstep (one new
+    # vertex each round), then one no-change round to prove convergence
+    assert [e["changed"] for e in lineage] == [1, 1, 1, 0]

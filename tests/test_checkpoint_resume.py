@@ -162,3 +162,40 @@ def test_kcore_kill_and_resume(spark, tmp_path):
     assert got == want
     # resumed run executed only the remaining rounds
     assert lin2[-1]["superstep"] == len(full_lin) - 1
+
+
+def test_sssp_kill_and_resume(spark, tmp_path):
+    """Shortest paths resumes from the superstep checkpoint with the TRUE
+    frontier (the persisted `improved` flag), not a full-state restart;
+    the path graph guarantees one-hop-per-round so max_iter=2 stops
+    genuinely mid-run."""
+    from hipporag_spark.algo.sssp import shortest_paths
+
+    n = 8
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    adj = adjacency(e).persist()
+    src = spark.createDataFrame([(0,)], "id long")
+    ckdir = str(tmp_path / "ck6")
+
+    full, full_lin = shortest_paths(spark, adj, src, num_blocks=2)
+    want = {(r["id"], r["dist"]) for r in full.collect()}
+
+    part1, lin1 = shortest_paths(
+        spark, adj, src, num_blocks=2, checkpoint_dir=ckdir,
+        run_id="sp1", max_iter=2,
+    )
+    assert not lin1[-1]["converged"]
+    part2, lin2 = shortest_paths(
+        spark, adj, src, num_blocks=2, checkpoint_dir=ckdir, run_id="sp1"
+    )
+    got = {(r["id"], r["dist"]) for r in part2.collect()}
+    assert got == want
+    assert lin2[-1]["superstep"] == len(full_lin) - 1
+    # the resumed frontier is the vertex improved in the killed run's last
+    # completed round (persisted `improved` flag): each fresh round still
+    # advances exactly one hop (replayed manifest entries carry `delta`,
+    # freshly-executed rounds carry `changed`)
+    fresh = [e["changed"] for e in lin2 if "changed" in e]
+    assert fresh == [1, 1, 1, 1, 1, 0]
