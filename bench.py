@@ -237,6 +237,15 @@ def main() -> None:
     kc_lin = bench("k_core", run_kcore)
     extras["kcore_peel_rounds"] = len(kc_lin)
 
+    from hipporag_spark.algo.linkpred import link_prediction_scores
+
+    def run_linkpred():
+        # hub cap bounds wedge work on the synthetic repo graph's hot files;
+        # top_k bounds the output (the realistic recommendation shape)
+        return link_prediction_scores(adj, max_center_degree=256, top_k=10).count()
+
+    extras["linkpred_rows"] = bench("link_prediction", run_linkpred)
+
     # ---- pipeline ops over the driver testdata ----
     from hipporag_spark import driver_queries as dq
 

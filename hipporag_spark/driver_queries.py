@@ -1541,6 +1541,61 @@ def _sssp_words_sql(rounds: int = 15) -> str:
     )
 
 
+def q_link_prediction_words(spark, sf_dir):
+    """Neighborhood-overlap link prediction (``algo/linkpred``) over the
+    generic word graph: every NON-adjacent word pair sharing ≥1 neighbor,
+    scored by common-neighbor count, Jaccard, Adamic-Adar and
+    preferential attachment. Id order ≡ word order (``_word_graph_ids``),
+    so the u<v pair canonicalization matches the oracle's string
+    comparison exactly."""
+    from .algo.linkpred import link_prediction_scores
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    scores = link_prediction_scores(adjacency(e))
+    return (
+        scores.join(ids.select(F.col("id").alias("u"), F.col("name").alias("word_u")), "u")
+        .join(ids.select(F.col("id").alias("v"), F.col("name").alias("word_v")), "v")
+        .select(
+            "word_u",
+            "word_v",
+            "common_neighbors",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+            "preferential_attachment",
+        )
+        .orderBy("word_u", "word_v")
+    )
+
+
+SQL_LINK_PREDICTION_WORDS = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), deg AS (
+  SELECT a AS id, count(*) AS d FROM nbrs GROUP BY a
+), wedges AS (
+  SELECT n1.b AS u, n2.b AS v, n1.a AS w
+  FROM nbrs n1 JOIN nbrs n2 ON n1.a = n2.a AND n1.b < n2.b
+), pairs AS (
+  SELECT u, v, count(*) AS cn, sum(1.0 / ln(dw.d)) AS aa
+  FROM wedges JOIN deg dw ON dw.id = wedges.w
+  GROUP BY u, v
+), nonadj AS (
+  SELECT p.* FROM pairs p ANTI JOIN nbrs nb ON nb.a = p.u AND nb.b = p.v
+)
+SELECT
+  p.u AS word_u,
+  p.v AS word_v,
+  p.cn AS common_neighbors,
+  round(CAST(p.cn AS DOUBLE) / (du.d + dv.d - p.cn), 6) AS jaccard,
+  round(p.aa, 6) AS adamic_adar,
+  du.d * dv.d AS preferential_attachment
+FROM nonadj p JOIN deg du ON du.id = p.u JOIN deg dv ON dv.id = p.v
+ORDER BY word_u, word_v
+"""
+
+
 def q_dup_windows(spark, sf_dir):
     """Substring-level duplication profile (``ops/dedup.dup_ngram_windows``):
     fraction of each doc's sliding word 8-gram windows that occur in ≥1
@@ -1632,6 +1687,7 @@ def all_queries() -> dict:
         "label_propagation_words": q_label_prop_words,
         "kcore_words": q_kcore_words,
         "sssp_words": q_sssp_words,
+        "link_prediction_words": q_link_prediction_words,
         "triangle_count_words": q_triangles_words,
         "triangles_per_vertex": q_triangles_per_vertex,
         "ppr_docs": q_ppr_docs,
@@ -1679,6 +1735,7 @@ def all_oracles() -> dict:
         "label_propagation_words": _lp_words_sql(),
         "kcore_words": _kcore_words_sql(),
         "sssp_words": _sssp_words_sql(),
+        "link_prediction_words": SQL_LINK_PREDICTION_WORDS,
         "triangle_count_words": SQL_TRIANGLES_WORDS,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "ppr_docs": _ppr_docs_sql(),

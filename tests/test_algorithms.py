@@ -323,3 +323,61 @@ def test_sssp_hop_distance_and_unreachable(spark):
     # path graph: the frontier advances one hop per superstep (one new
     # vertex each round), then one no-change round to prove convergence
     assert [e["changed"] for e in lineage] == [1, 1, 1, 0]
+
+
+def test_link_prediction_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.linkpred import link_prediction_scores
+
+    n = 25
+    edges = random_multigraph(n, 90, 17)
+    adj, st, vids = make_graph(spark, n, edges)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((u, v) for u, v, _ in edges)
+
+    out = link_prediction_scores(adj).collect()
+    got = {(r["u"], r["v"]): r for r in out}
+
+    # NetworkX defaults score ALL non-edges; ours emits only cn >= 1
+    nonedges = [(u, v) for u, v in nx.non_edges(G) if u < v]
+    want_cn = {
+        (u, v): len(list(nx.common_neighbors(G, u, v))) for u, v in nonedges
+    }
+    want_jac = {(u, v): p for u, v, p in nx.jaccard_coefficient(G, nonedges)}
+    want_aa = {(u, v): p for u, v, p in nx.adamic_adar_index(G, nonedges)}
+    want_pa = {(u, v): p for u, v, p in nx.preferential_attachment(G, nonedges)}
+
+    expect_pairs = {p for p, c in want_cn.items() if c >= 1}
+    assert set(got) == expect_pairs
+    for p in expect_pairs:
+        r = got[p]
+        assert r["common_neighbors"] == want_cn[p]
+        assert abs(r["jaccard"] - want_jac[p]) < 1e-9
+        assert abs(r["adamic_adar"] - want_aa[p]) < 1e-9
+        assert r["preferential_attachment"] == want_pa[p]
+
+
+def test_link_prediction_topk_and_hub_cap(spark):
+    from hipporag_spark.algo.linkpred import link_prediction_scores
+
+    # star center 0 with leaves 1..5, plus an edge 1-2: every leaf pair
+    # shares hub 0; only (1,2) also... (1,2) is an EDGE so it's excluded.
+    edges = [(0, i, 1.0) for i in range(1, 6)] + [(1, 2, 1.0)]
+    adj, st, vids = make_graph(spark, 6, edges)
+
+    full = link_prediction_scores(adj).collect()
+    # non-adjacent leaf pairs: C(5,2)=10 minus the (1,2) edge = 9
+    assert len(full) == 9
+    by_pair = {(r["u"], r["v"]): r for r in full}
+    assert all(r["common_neighbors"] == 1 for r in full)
+    # capping out the hub (deg 5) removes every wedge -> empty result
+    capped = link_prediction_scores(adj, max_center_degree=4).collect()
+    assert capped == []
+
+    # top_k per u: vertex 3 pairs with 1,2,4,5 (all cn=1) -> keep 2 smallest v
+    topk = link_prediction_scores(adj, top_k=2).collect()
+    v3 = sorted(r["v"] for r in topk if r["u"] == 3)
+    assert v3 == [4, 5]
+    u3 = sorted(r["u"] for r in topk if r["v"] == 3)  # 3 as the v-side still appears
+    assert u3 == [1, 2]
