@@ -100,7 +100,7 @@ def main() -> None:
         verts, edges, adj = build_graph(ex)
         st = strength(adj).persist()
         built.update(
-            ex=ex, verts=verts, adj=adj, st=st,
+            ex=ex, verts=verts, edges=edges, adj=adj, st=st,
             n_vertices=verts.count(), n_edges=adj.count(),
         )
         return built
@@ -245,6 +245,19 @@ def main() -> None:
         return link_prediction_scores(adj, max_center_degree=256, top_k=10).count()
 
     extras["linkpred_rows"] = bench("link_prediction", run_linkpred)
+
+    from hipporag_spark.algo.hits import hits as hits_algo
+
+    def run_hits():
+        scores, h_lin = hits_algo(
+            spark, built["edges"], verts.select("id"), max_iter=10, tol=1e-8,
+            num_blocks=blocks,
+        )
+        scores.count()
+        return h_lin
+
+    h_lin = bench("hits", run_hits)
+    extras["hits_supersteps"] = len(h_lin)
 
     # ---- pipeline ops over the driver testdata ----
     from hipporag_spark import driver_queries as dq

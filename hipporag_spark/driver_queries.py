@@ -1596,6 +1596,64 @@ ORDER BY word_u, word_v
 """
 
 
+def q_hits_words(spark, sf_dir):
+    """HITS hubs & authorities (``algo/hits``) over the DIRECTED word
+    graph (s→o pairs, parallel pairs summed), forced to exactly 20
+    power-iteration rounds (``tol=0``) so the unrolled-CTE oracle is
+    bit-comparable at 6 dp — the same fixed-round technique as
+    ``ppr_docs``."""
+    from .algo.hits import hits
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    scores, _ = hits(spark, e, ids.select("id"), max_iter=20, tol=0.0, num_blocks=8)
+    return (
+        scores.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select(
+            "word",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy("word")
+    )
+
+
+def _hits_round(k: int) -> str:
+    p = f"h{k - 1}"
+    return f"""a{k} AS MATERIALIZED (
+  SELECT id, val / (sum(val) OVER ()) AS val FROM (
+    SELECT v.id, coalesce(s.raw, 0.0) AS val FROM verts v LEFT JOIN (
+      SELECT ed.o AS id, sum(ed.w * h.val) AS raw FROM ed JOIN {p} h ON h.id = ed.s GROUP BY ed.o
+    ) s USING (id))
+), h{k} AS MATERIALIZED (
+  SELECT id, val / (sum(val) OVER ()) AS val FROM (
+    SELECT v.id, coalesce(s.raw, 0.0) AS val FROM verts v LEFT JOIN (
+      SELECT ed.s AS id, sum(ed.w * a.val) AS raw FROM ed JOIN a{k} a ON a.id = ed.o GROUP BY ed.s
+    ) s USING (id))
+)"""
+
+
+def _hits_words_sql(rounds: int = 20) -> str:
+    """Unrolled HITS power iteration: per round, authorities = normalized
+    in-weighted hub sum, hubs = normalized out-weighted authority sum —
+    per-step L1 normalization matches the engine exactly (the engine's
+    literal-norm rescaling is algebraically identical: HITS is
+    scale-invariant)."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, ed AS MATERIALIZED (
+  SELECT s, o, CAST(count(*) AS DOUBLE) AS w FROM trips GROUP BY s, o
+), verts AS MATERIALIZED (
+  SELECT DISTINCT s AS id FROM ed UNION SELECT DISTINCT o AS id FROM ed
+), h0 AS MATERIALIZED (
+  SELECT id, 1.0 / (SELECT count(*) FROM verts) AS val FROM verts
+)"""
+    ctes = [head] + [_hits_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT a.id AS word, round(a.val, 6) AS authority, round(h.val, 6) AS hub
+FROM a{rounds} a JOIN h{rounds} h ON h.id = a.id ORDER BY word"""
+    )
+
+
 def q_dup_windows(spark, sf_dir):
     """Substring-level duplication profile (``ops/dedup.dup_ngram_windows``):
     fraction of each doc's sliding word 8-gram windows that occur in ≥1
@@ -1688,6 +1746,7 @@ def all_queries() -> dict:
         "kcore_words": q_kcore_words,
         "sssp_words": q_sssp_words,
         "link_prediction_words": q_link_prediction_words,
+        "hits_words": q_hits_words,
         "triangle_count_words": q_triangles_words,
         "triangles_per_vertex": q_triangles_per_vertex,
         "ppr_docs": q_ppr_docs,
@@ -1736,6 +1795,7 @@ def all_oracles() -> dict:
         "kcore_words": _kcore_words_sql(),
         "sssp_words": _sssp_words_sql(),
         "link_prediction_words": SQL_LINK_PREDICTION_WORDS,
+        "hits_words": _hits_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "ppr_docs": _ppr_docs_sql(),

@@ -381,3 +381,81 @@ def test_link_prediction_topk_and_hub_cap(spark):
     assert v3 == [4, 5]
     u3 = sorted(r["u"] for r in topk if r["v"] == 3)  # 3 as the v-side still appears
     assert u3 == [1, 2]
+
+
+def _hits_reference(n, edges, rounds):
+    """NumPy mirror of algo/hits semantics: directed weighted adjacency
+    (parallel edges summed), L1-normalized after each half-update."""
+    A = np.zeros((n, n))
+    for u, v, w in edges:
+        A[u, v] += w
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    for _ in range(rounds):
+        a = A.T @ h
+        if a.sum() > 0:
+            a = a / a.sum()
+        h = A @ a
+        if h.sum() > 0:
+            h = h / h.sum()
+    return a, h
+
+
+def test_hits_fixed_rounds_matches_numpy(spark):
+    from hipporag_spark.algo.hits import hits
+
+    n = 40
+    edges = random_multigraph(n, 200, 23)
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(n).select(F.col("id"))
+    scores, lineage = hits(spark, e, vids, max_iter=12, tol=0.0, num_blocks=4)
+    got = {r["id"]: (r["authority"], r["hub"]) for r in scores.collect()}
+    a, h = _hits_reference(n, edges, 12)
+    assert len(lineage) == 12 and not lineage[-1]["converged"]
+    for i in range(n):
+        assert abs(got[i][0] - a[i]) < 1e-9
+        assert abs(got[i][1] - h[i]) < 1e-9
+
+
+def test_hits_converged_matches_fixed_point(spark):
+    """At convergence the scores are the principal eigenvectors of AᵀA /
+    AAᵀ — compare against a long-run NumPy power iteration (networkx's
+    hits needs scipy, absent here; the NumPy mirror is the same math)."""
+    from hipporag_spark.algo.hits import hits
+
+    n = 30
+    edges = random_multigraph(n, 150, 29)
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(n).select(F.col("id"))
+    scores, lineage = hits(spark, e, vids, max_iter=150, tol=1e-10, num_blocks=4)
+    assert lineage[-1]["converged"]
+    got = {r["id"]: (r["authority"], r["hub"]) for r in scores.collect()}
+
+    want_a, want_h = _hits_reference(n, edges, 3000)
+    for i in range(n):
+        assert abs(got[i][0] - want_a[i]) < 1e-7
+        assert abs(got[i][1] - want_h[i]) < 1e-7
+
+
+def test_hits_superstep_wall_stays_flat(spark):
+    """Regression pin for the Catalyst sizeInBytes BigInt blowup: a
+    crossJoin-based normalization compounds the cross-product size
+    estimate through each localCheckpoint's LogicalRDD stats, doubling
+    the estimate's DIGIT COUNT per superstep — planning went 1s/step at
+    step 15 to 94s at step 19, jstack pinned in
+    BigInteger.multiplyToomCook3. The literal-norm formulation must keep
+    per-step wall flat through 25 rounds."""
+    from hipporag_spark.algo.hits import hits
+
+    n = 20
+    edges = random_multigraph(n, 80, 41)
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(n).select(F.col("id"))
+    scores, lineage = hits(spark, e, vids, max_iter=25, tol=0.0, num_blocks=2)
+    scores.count()
+    walls = [l["wall_ms"] for l in lineage]
+    assert len(walls) == 25
+    import statistics
+    baseline = statistics.median(walls[2:10])
+    # the bug shows >60x blowup by step 19; allow 10x for host noise
+    assert max(walls[-5:]) < 10 * baseline, walls

@@ -199,3 +199,38 @@ def test_sssp_kill_and_resume(spark, tmp_path):
     # freshly-executed rounds carry `changed`)
     fresh = [e["changed"] for e in lin2 if "changed" in e]
     assert fresh == [1, 1, 1, 1, 1, 0]
+
+
+def test_hits_kill_and_resume(spark, tmp_path):
+    """HITS resumes from the superstep checkpoint with the RAW state plus
+    the L1 norms persisted in the manifest (the literal-rescale contract);
+    a killed fixed-round run resumed to the same round count must equal
+    the uninterrupted run."""
+    from hipporag_spark.algo.hits import hits
+
+    n = 16
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % n, 1.0 + (i % 3)) for i in range(n)]
+        + [(i, (i * 5 + 2) % n, 1.0) for i in range(n)],
+        "src long, dst long, weight double",
+    )
+    vids = spark.range(n).select(F.col("id"))
+    ckdir = str(tmp_path / "ck7")
+
+    full, full_lin = hits(spark, e, vids, max_iter=8, tol=0.0, num_blocks=2)
+    want = {r["id"]: (r["authority"], r["hub"]) for r in full.collect()}
+
+    part1, lin1 = hits(
+        spark, e, vids, max_iter=4, tol=0.0, num_blocks=2,
+        checkpoint_dir=ckdir, run_id="h1",
+    )
+    assert not lin1[-1]["converged"]
+    part2, lin2 = hits(
+        spark, e, vids, max_iter=8, tol=0.0, num_blocks=2,
+        checkpoint_dir=ckdir, run_id="h1",
+    )
+    got = {r["id"]: (r["authority"], r["hub"]) for r in part2.collect()}
+    assert lin2[-1]["superstep"] == 7
+    for i in range(n):
+        assert abs(got[i][0] - want[i][0]) < 1e-12
+        assert abs(got[i][1] - want[i][1]) < 1e-12
