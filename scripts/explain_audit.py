@@ -140,6 +140,53 @@ def main() -> None:
           "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"])
     )
 
+    # 11. link prediction: wedge join is an equi-join with partial
+    #     aggregation, all-JVM, no cartesian anywhere
+    from hipporag_spark.algo.linkpred import link_prediction_scores
+
+    lp_adj = adjacency(e)
+    p = plan_of(link_prediction_scores(lp_adj, max_center_degree=64, top_k=10))
+    sections.append(
+        ("link_prediction wedge equi-join, partial aggs", p,
+         ["partial_count", "!CartesianProduct", "!BroadcastNestedLoopJoin",
+          "!ArrowEvalPython", "!BatchEvalPython"])
+    )
+
+    # 12. HITS superstep: the per-round plan must contain NO cross join
+    #     (the Catalyst sizeInBytes BigInt-compounding pathology — see
+    #     algo/hits.py docstring) and aggregate partially, all-JVM
+    hits_state = spark.range(100).select(
+        "id", F.lit(1.0).alias("authority"), F.lit(1.0).alias("hub")
+    )
+    h_adj = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    hub_in = hits_state.select(F.col("id").alias("src"), (F.col("hub") / F.lit(1.0)).alias("h"))
+    auth_raw = (
+        h_adj.join(hub_in, "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.col("weight") * F.col("h")).alias("authority"))
+    )
+    dense_auth = (
+        auth_raw.unionByName(spark.range(100).select("id", F.lit(0.0).alias("authority")))
+        .groupBy("id").agg(F.sum("authority").alias("authority"))
+    )
+    hub_raw = (
+        h_adj.join(dense_auth.select(F.col("id").alias("dst"), F.col("authority").alias("a")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.col("weight") * F.col("a")).alias("hub"))
+    )
+    hits_step = (
+        dense_auth.select("id", "authority", F.lit(0.0).alias("hub"))
+        .unionByName(hub_raw.select("id", F.lit(0.0).alias("authority"), "hub"))
+        .groupBy("id")
+        .agg(F.sum("authority").alias("authority"), F.sum("hub").alias("hub"))
+    )
+    p = plan_of(hits_step)
+    sections.append(
+        ("hits superstep: no cross join, partial aggs, all-JVM", p,
+         ["partial_sum", "!CartesianProduct", "!BroadcastNestedLoopJoin",
+          "!ArrowEvalPython", "!BatchEvalPython"])
+    )
+
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     ok = True
     with open(out_path, "w") as f:
