@@ -259,6 +259,22 @@ def main() -> None:
     h_lin = bench("hits", run_hits)
     extras["hits_supersteps"] = len(h_lin)
 
+    from hipporag_spark.algo.ppr_push import ppr_forward_push
+
+    def run_ppr_push():
+        seed = verts.select("id").orderBy("id").limit(1).withColumn(
+            "weight", F.lit(1.0)
+        )
+        scores, fp_lin = ppr_forward_push(
+            spark, adj, st, seed, damping=0.5, eps=1e-6, num_blocks=blocks
+        )
+        n_touched = scores.count()
+        return fp_lin, n_touched
+
+    fp_lin, fp_touched = bench("ppr_forward_push", run_ppr_push)
+    extras["ppr_push_supersteps"] = len(fp_lin)
+    extras["ppr_push_touched"] = fp_touched
+
     # ---- pipeline ops over the driver testdata ----
     from hipporag_spark import driver_queries as dq
 

@@ -1654,6 +1654,77 @@ FROM a{rounds} a JOIN h{rounds} h ON h.id = a.id ORDER BY word"""
     )
 
 
+def q_ppr_push_words(spark, sf_dir):
+    """Approximate local PPR by synchronous forward push
+    (``algo/ppr_push``) seeded at the lexicographically smallest word,
+    eps=1e-4 — the scale path for single-query PPR (touches only the
+    walk's neighborhood). Deterministic: the pushed set each round is a
+    pure threshold function of the state, so the unrolled-CTE oracle
+    replays the identical rounds (rounds past convergence are no-ops)."""
+    from .algo.ppr_push import ppr_forward_push
+    from .graph.build import adjacency, strength
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    adj = adjacency(e)
+    st = strength(adj)
+    src = ids.orderBy("id").limit(1).select("id", F.lit(1.0).alias("weight"))
+    scores, _ = ppr_forward_push(
+        spark, adj, st, src, damping=0.5, eps=1e-4, max_iter=15, num_blocks=8
+    )
+    return (
+        scores.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select(
+            "word",
+            F.round("estimate", 6).alias("estimate"),
+            F.round("residual", 6).alias("residual"),
+        )
+        .orderBy("word")
+    )
+
+
+def _push_round(k: int, d: float = 0.5, eps: float = 1e-4) -> str:
+    p = f"st{k - 1}"
+    return f"""st{k} AS MATERIALIZED (
+  SELECT id, sum(p) AS p, sum(r) AS r FROM (
+    SELECT id,
+           p + CASE WHEN r >= {eps} THEN {1 - d} * r ELSE 0.0 END AS p,
+           CASE WHEN r >= {eps} THEN 0.0 ELSE r END AS r
+    FROM {p}
+    UNION ALL
+    SELECT nb.b AS id, 0.0 AS p, {d} * s.r * nb.wn AS r
+    FROM {p} s JOIN nbrs nb ON nb.a = s.id WHERE s.r >= {eps}
+  ) GROUP BY id
+)"""
+
+
+def _ppr_push_words_sql(rounds: int = 15) -> str:
+    """Unrolled synchronous forward push. ``nbrs`` carries the normalized
+    transition weight wn = w/strength(a) over the symmetric summed word
+    adjacency (same as ``graph.build.adjacency``/``strength``); the word
+    graph has no dangling vertices, so the dangling-reinjection term is
+    identically zero and omitted."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT s AS a, o AS b, CAST(count(*) AS DOUBLE) AS w FROM trips GROUP BY s, o
+), sym AS MATERIALIZED (
+  SELECT a, b, sum(w) AS w FROM (
+    SELECT a, b, w FROM und UNION ALL SELECT b AS a, a AS b, w FROM und
+  ) GROUP BY a, b
+), stren AS MATERIALIZED (
+  SELECT a, sum(w) AS s FROM sym GROUP BY a
+), nbrs AS MATERIALIZED (
+  SELECT sym.a, sym.b, sym.w / stren.s AS wn FROM sym JOIN stren ON stren.a = sym.a
+), st0 AS MATERIALIZED (
+  SELECT min(a) AS id, 0.0 AS p, 1.0 AS r FROM nbrs
+)"""
+    ctes = [head] + [_push_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT id AS word, round(p, 6) AS estimate, round(r, 6) AS residual
+FROM st{rounds} ORDER BY word"""
+    )
+
+
 def q_dup_windows(spark, sf_dir):
     """Substring-level duplication profile (``ops/dedup.dup_ngram_windows``):
     fraction of each doc's sliding word 8-gram windows that occur in ≥1
@@ -1747,6 +1818,7 @@ def all_queries() -> dict:
         "sssp_words": q_sssp_words,
         "link_prediction_words": q_link_prediction_words,
         "hits_words": q_hits_words,
+        "ppr_push_words": q_ppr_push_words,
         "triangle_count_words": q_triangles_words,
         "triangles_per_vertex": q_triangles_per_vertex,
         "ppr_docs": q_ppr_docs,
@@ -1796,6 +1868,7 @@ def all_oracles() -> dict:
         "sssp_words": _sssp_words_sql(),
         "link_prediction_words": SQL_LINK_PREDICTION_WORDS,
         "hits_words": _hits_words_sql(),
+        "ppr_push_words": _ppr_push_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "ppr_docs": _ppr_docs_sql(),

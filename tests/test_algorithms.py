@@ -459,3 +459,69 @@ def test_hits_superstep_wall_stays_flat(spark):
     baseline = statistics.median(walls[2:10])
     # the bug shows >60x blowup by step 19; allow 10x for host noise
     assert max(walls[-5:]) < 10 * baseline, walls
+
+
+def test_ppr_forward_push_approaches_exact(spark):
+    """ACL invariant: at convergence |pi - estimate| <= ||residual||_1 <
+    eps * touched; with tiny eps the push result matches the exact PPR
+    reference. Also pins mass conservation (p + r sums to 1)."""
+    from hipporag_spark.algo.ppr_push import ppr_forward_push
+
+    n = 30
+    edges = random_multigraph(n, 150, 37)
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[2], reset[11] = 0.6, 0.4
+    reset_df = spark.createDataFrame([(2, 0.6), (11, 0.4)], "id long, weight double")
+    scores, lineage = ppr_forward_push(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-7, num_blocks=4
+    )
+    rows = scores.collect()
+    got = np.zeros(n)
+    res = 0.0
+    for r in rows:
+        got[r["id"]] = r["estimate"]
+        res += r["residual"]
+    assert lineage[-1]["converged"]
+    want = ppr_reference(n, edges, reset, 0.5)
+    assert np.allclose(got, want, atol=n * 1e-7)
+    assert abs(got.sum() + res - 1.0) < 1e-9  # invariant mass
+
+
+def test_ppr_forward_push_stays_local(spark):
+    """The state never touches a component the walk cannot reach."""
+    from hipporag_spark.algo.ppr_push import ppr_forward_push
+
+    # component A: 0-1-2 triangle; component B: 3-4 pair
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (3, 4, 1.0)]
+    adj, st, vids = make_graph(spark, 5, edges)
+    reset_df = spark.createDataFrame([(0, 1.0)], "id long, weight double")
+    scores, lineage = ppr_forward_push(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-9, num_blocks=2
+    )
+    ids = {r["id"] for r in scores.collect()}
+    assert ids == {0, 1, 2}
+    assert lineage[-1]["converged"]
+
+
+def test_ppr_forward_push_dangling_seed(spark):
+    """An isolated seed's pushed mass teleports to the reset distribution
+    (re-injected as a literal next superstep) — matches the exact
+    reference, which teleports dangling mass to reset."""
+    from hipporag_spark.algo.ppr_push import ppr_forward_push
+
+    n = 6
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0)]  # 3,4,5 isolated
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[0], reset[4] = 0.5, 0.5  # half the seed mass on an isolated vertex
+    reset_df = spark.createDataFrame([(0, 0.5), (4, 0.5)], "id long, weight double")
+    scores, lineage = ppr_forward_push(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-9, num_blocks=2
+    )
+    got = np.zeros(n)
+    for r in scores.collect():
+        got[r["id"]] = r["estimate"]
+    assert lineage[-1]["converged"]
+    want = ppr_reference(n, edges, reset, 0.5)
+    assert np.allclose(got, want, atol=n * 1e-8)

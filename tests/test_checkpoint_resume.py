@@ -234,3 +234,41 @@ def test_hits_kill_and_resume(spark, tmp_path):
     for i in range(n):
         assert abs(got[i][0] - want[i][0]) < 1e-12
         assert abs(got[i][1] - want[i][1]) < 1e-12
+
+
+def test_ppr_forward_push_kill_and_resume(spark, tmp_path):
+    """Forward push resumes with the true frontier AND the pending
+    dangling mass from the manifest; a run killed mid-iteration resumed
+    to convergence equals the uninterrupted run."""
+    from hipporag_spark.algo.ppr_push import ppr_forward_push
+    from hipporag_spark.graph.build import strength as strength_of
+
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (3, 0, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    adj = adjacency(e).persist()
+    st = strength_of(adj).persist()
+    # half the seed mass on isolated vertex 5 → dangling path stays hot
+    reset_df = spark.createDataFrame([(0, 0.5), (5, 0.5)], "id long, weight double")
+    ckdir = str(tmp_path / "ck8")
+
+    full, full_lin = ppr_forward_push(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-7, num_blocks=2
+    )
+    want = {r["id"]: (r["estimate"], r["residual"]) for r in full.collect()}
+
+    part1, lin1 = ppr_forward_push(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-7, num_blocks=2,
+        checkpoint_dir=ckdir, run_id="fp1", max_iter=3,
+    )
+    assert not lin1[-1]["converged"]
+    part2, lin2 = ppr_forward_push(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-7, num_blocks=2,
+        checkpoint_dir=ckdir, run_id="fp1",
+    )
+    got = {r["id"]: (r["estimate"], r["residual"]) for r in part2.collect()}
+    assert lin2[-1]["converged"]
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i][0] - want[i][0]) < 1e-12
+        assert abs(got[i][1] - want[i][1]) < 1e-12
+    assert lin2[-1]["superstep"] == len(full_lin) - 1
