@@ -43,7 +43,11 @@ def connected_components(
     """Return (``components(id, component)``, lineage). component = min
     vertex id reachable, i.e. a canonical deterministic component id."""
     P = num_blocks or spark.sparkContext.defaultParallelism
-    edges = adj.select("src", "dst").persist()  # weights irrelevant
+    # pre-partition on the probe key so the O(E) side is NEVER
+    # re-exchanged per superstep (only the O(V) label side shuffles; the
+    # cached outputPartitioning satisfies the join requirement at any
+    # scale where the state no longer broadcasts)
+    edges = adj.select("src", "dst").repartition(F.col("src")).persist()
 
     labels = vertex_ids.select("id", F.col("id").alias("component"))
     ckpt = None

@@ -81,7 +81,12 @@ def hits(
     edges keep score 0 but stay present (dense state). Scores are
     L1-normalized (each vector sums to 1 on any graph with edges)."""
     P = num_blocks or spark.sparkContext.defaultParallelism
-    adj = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight")).persist()
+    # two cached copies of the edge table, each pre-partitioned on the key
+    # its per-superstep join probes (the GraphX-style price of a directed
+    # two-sided update): neither join ever re-exchanges the O(E) side
+    adj = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    adj_src = adj.repartition(F.col("src")).persist()
+    adj_dst = adj.repartition(F.col("dst")).persist()
 
     # raw (unnormalized) state + its L1 norms as driver scalars; scale
     # invariance makes init all-ones ≡ init 1/n after the first rescale
@@ -108,16 +113,15 @@ def hits(
 
     for step in range(start, max_iter):
         t0 = time.time()
-        # read the previous state normalized via LITERAL norms (see module
-        # docstring for why this must not be a crossJoin)
-        # No cross joins, no state self-joins (see module docstring):
-        # the state leaf joins only the fixed adj leaf; densification and
-        # auth+hub assembly are UNION + aggregate (sizeInBytes adds).
+        # The previous state is read normalized via LITERAL norms — no
+        # cross joins, no state self-joins (see module docstring); the
+        # state leaf joins only the fixed pre-partitioned adj leaves, and
+        # densification/assembly are UNION + aggregate.
         hub_in = state.select(
             F.col("id").alias("src"), (F.col("hub") / F.lit(nh)).alias("h")
         )
         auth_raw = (
-            adj.join(hub_in, "src")
+            adj_src.join(hub_in, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("weight") * F.col("h")).alias("authority"))
         )
@@ -131,7 +135,7 @@ def hits(
         # hub update consumes the UNNORMALIZED new authorities — the scale
         # factor rides into this step's hub norm (scale invariance)
         hub_raw = (
-            adj.join(
+            adj_dst.join(
                 dense_auth.select(F.col("id").alias("dst"), F.col("authority").alias("a")),
                 "dst",
             )
@@ -210,7 +214,8 @@ def hits(
         if converged:
             break
 
-    adj.unpersist()
+    adj_src.unpersist()
+    adj_dst.unpersist()
     return _normalized(state, na, nh), lineage
 
 

@@ -41,7 +41,8 @@ def label_propagation(
 ) -> tuple[DataFrame, list[dict]]:
     """Return (``labels(id, label)``, lineage)."""
     P = num_blocks or spark.sparkContext.defaultParallelism
-    edges = adj.select("src", "dst", "weight").persist()
+    # pre-partitioned on src: vote joins never re-exchange O(E)
+    edges = adj.select("src", "dst", "weight").repartition(F.col("src")).persist()
 
     labels = vertex_ids.select("id", F.col("id").alias("label"))
     ckpt = None

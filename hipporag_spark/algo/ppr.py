@@ -35,6 +35,12 @@ Three physical engines, same math, chosen by where the data fits:
   two-phase aggregation — kept as a cross-check the optimizer can reason
   about end-to-end.
 
+For interactive SINGLE-query scoring on graphs too large to iterate over
+per query, see :mod:`.ppr_push` — approximate local PPR by synchronous
+forward push, whose work tracks the walk's touched neighborhood instead
+of O(E)·iterations (exact engines here remain the batch/convergence
+ground truth).
+
 Float64 throughout; scores sum to 1 at convergence like the reference.
 Checkpoint contract (north rule): each superstep of the csr engine persists
 the packed rank vector + per-partition lineage metrics; a killed run

@@ -72,6 +72,8 @@ def ppr_forward_push(
     adj_norm = (
         adj.join(strength.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.col("weight") / F.col("strength")).alias("wn"))
+        # pre-partitioned on src: frontier joins never re-exchange O(E)
+        .repartition(F.col("src"))
         .persist()
     )
     # normalized reset (id, rw); tiny — broadcast side of nothing, it only

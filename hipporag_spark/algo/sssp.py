@@ -59,7 +59,8 @@ def shortest_paths(
     adjacency for undirected semantics); ``sources`` is a DataFrame with
     an ``id`` column (all sources start at distance 0)."""
     P = num_blocks or spark.sparkContext.defaultParallelism
-    edges = adj.select("src", "dst", "weight").persist()
+    # pre-partitioned on src: frontier joins never re-exchange O(E)
+    edges = adj.select("src", "dst", "weight").repartition(F.col("src")).persist()
 
     state = sources.select(
         "id", F.lit(0.0).alias("dist"), F.lit(True).alias("improved")

@@ -187,6 +187,46 @@ def main() -> None:
           "!ArrowEvalPython", "!BatchEvalPython"])
     )
 
+    # 13. iterative edge reuse: with broadcast disabled (the at-scale
+    #     regime where the state side no longer broadcasts), a CC
+    #     superstep must NOT re-exchange the pre-partitioned O(E) edge
+    #     side — the only Exchanges sit on the O(V) state side
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cc_edges = adjacency(e).select("src", "dst").repartition(F.col("src")).persist()
+        cc_edges.count()
+        labels = spark.range(1000).select("id", F.col("id").alias("component"))
+        nbr_min = (
+            cc_edges.join(labels, cc_edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr"))
+        )
+        p = plan_of(nbr_min)
+        # structural invariant: the SMJ's edge side goes Sort → (Filter) →
+        # InMemoryTableScan with NO Exchange in between — the cached
+        # hashpartitioning(src) satisfies the join requirement, so only
+        # the O(V) labels side shuffles per superstep
+        import re as _re
+
+        edge_side_reused = bool(
+            _re.search(
+                r":- \* Sort \(\d+\)\n\s*:  \+- (?:\* Filter \(\d+\)\n\s*:     \+- )?InMemoryTableScan",
+                p,
+            )
+        )
+        checks = ["InMemoryTableScan", "SortMergeJoin"]
+        if not edge_side_reused:
+            checks.append("__EDGE_SIDE_REUSE_VIOLATED__")  # absent → FAIL
+        sections.append(
+            ("cc superstep: pre-partitioned edge side joins without re-exchange", p, checks)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     ok = True
     with open(out_path, "w") as f:
