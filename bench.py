@@ -275,6 +275,19 @@ def main() -> None:
     extras["ppr_push_supersteps"] = len(fp_lin)
     extras["ppr_push_touched"] = fp_touched
 
+    from hipporag_spark.algo.scc import strongly_connected_components
+
+    def run_scc():
+        comp, s_lin = strongly_connected_components(
+            spark, built["edges"], verts.select("id"), num_blocks=blocks
+        )
+        comp.count()
+        return s_lin
+
+    s_lin = bench("scc", run_scc)
+    extras["scc_outer_rounds"] = max(l["outer"] for l in s_lin) + 1
+    extras["scc_supersteps"] = len(s_lin)
+
     # ---- pipeline ops over the driver testdata ----
     from hipporag_spark import driver_queries as dq
 

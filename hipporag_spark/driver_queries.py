@@ -1725,6 +1725,60 @@ FROM st{rounds} ORDER BY word"""
     )
 
 
+def q_scc_words(spark, sf_dir):
+    """Strongly connected components (``algo/scc``: trim + min-label
+    coloring + same-color backward marking) over the DIRECTED word graph
+    (s→o). Output is id-free (word, component_word), component_word =
+    lexicographically smallest word in the SCC — id order ≡ word order
+    makes the canonical min agree with the oracle's string min."""
+    from .algo.scc import strongly_connected_components
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    comp, _ = strongly_connected_components(spark, e, ids.select("id"), num_blocks=8)
+    return (
+        comp.join(ids.select("id", F.col("name").alias("word")), "id")
+        .join(
+            ids.select(
+                F.col("id").alias("component"), F.col("name").alias("component_word")
+            ),
+            "component",
+        )
+        .select("word", "component_word")
+        .orderBy("word")
+    )
+
+
+def _scc_words_sql(doublings: int = 6) -> str:
+    """Reachability closure by squaring (2^6 = 64 ≥ any path length on the
+    ≤64-word test graphs), then component(v) = min over mutually-reachable
+    u. The identity rows make every vertex reach itself."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, ed AS (
+  SELECT DISTINCT s, o FROM trips
+), verts AS (
+  SELECT DISTINCT s AS v FROM ed UNION SELECT DISTINCT o AS v FROM ed
+), r0 AS MATERIALIZED (
+  SELECT s, o FROM ed UNION SELECT v AS s, v AS o FROM verts
+)"""
+    ctes = [head]
+    for k in range(1, doublings + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT s, o FROM {p}
+  UNION
+  SELECT a.s, b.o FROM {p} a JOIN {p} b ON a.o = b.s
+)"""
+        )
+    last = f"r{doublings}"
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT a.s AS word, min(a.o) AS component_word
+FROM {last} a JOIN {last} b ON a.s = b.o AND a.o = b.s
+GROUP BY a.s ORDER BY word"""
+    )
+
+
 def q_dup_windows(spark, sf_dir):
     """Substring-level duplication profile (``ops/dedup.dup_ngram_windows``):
     fraction of each doc's sliding word 8-gram windows that occur in ≥1
@@ -1819,6 +1873,7 @@ def all_queries() -> dict:
         "link_prediction_words": q_link_prediction_words,
         "hits_words": q_hits_words,
         "ppr_push_words": q_ppr_push_words,
+        "scc_words": q_scc_words,
         "triangle_count_words": q_triangles_words,
         "triangles_per_vertex": q_triangles_per_vertex,
         "ppr_docs": q_ppr_docs,
@@ -1869,6 +1924,7 @@ def all_oracles() -> dict:
         "link_prediction_words": SQL_LINK_PREDICTION_WORDS,
         "hits_words": _hits_words_sql(),
         "ppr_push_words": _ppr_push_words_sql(),
+        "scc_words": _scc_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "ppr_docs": _ppr_docs_sql(),

@@ -525,3 +525,50 @@ def test_ppr_forward_push_dangling_seed(spark):
     assert lineage[-1]["converged"]
     want = ppr_reference(n, edges, reset, 0.5)
     assert np.allclose(got, want, atol=n * 1e-8)
+
+
+def test_scc_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.scc import strongly_connected_components
+
+    n = 40
+    rng = np.random.default_rng(43)
+    edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)), 1.0) for _ in range(90)]
+    edges = [(u, v, w) for u, v, w in edges if u != v]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(n).select(F.col("id"))
+    comp, lineage = strongly_connected_components(spark, e, vids, num_blocks=4)
+    got = {r["id"]: r["component"] for r in comp.collect()}
+    assert set(got) == set(range(n))
+
+    G = nx.MultiDiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((u, v) for u, v, _ in edges)
+    for scc in nx.strongly_connected_components(G):
+        root = min(scc)
+        for v in scc:
+            assert got[v] == root, (v, scc, got[v])
+    assert lineage[-1]["converged"]
+
+
+def test_scc_dag_and_cycles(spark):
+    """A DAG of singletons resolves in ONE outer round; a cycle chained to
+    a DAG tail separates correctly."""
+    from hipporag_spark.algo.scc import strongly_connected_components
+
+    # cycle {0,1,2}, path 2->3->4, back-edge 4->3 makes {3,4} a cycle,
+    # 4->5 tail singleton; 6 isolated
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 1.0),
+             (3, 4, 1.0), (4, 3, 1.0), (4, 5, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(7).select(F.col("id"))
+    comp, lineage = strongly_connected_components(spark, e, vids, num_blocks=2)
+    got = {r["id"]: r["component"] for r in comp.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+    outers = {l["outer"] for l in lineage}
+    assert lineage[-1]["converged"]
+    # round 0: trim removes the tail 5 and isolated 6, coloring roots at 0,
+    # backward extracts SCC {0,1,2}; round 1: {3,4} becomes its own root
+    assert outers == {0, 1}, outers
+    trims = [l for l in lineage if l["phase"] == "trim" and l["changed"] < 0]
+    assert trims and trims[0]["changed"] == -2  # 5 and 6 trimmed together

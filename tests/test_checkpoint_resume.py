@@ -272,3 +272,39 @@ def test_ppr_forward_push_kill_and_resume(spark, tmp_path):
         assert abs(got[i][0] - want[i][0]) < 1e-12
         assert abs(got[i][1] - want[i][1]) < 1e-12
     assert lin2[-1]["superstep"] == len(full_lin) - 1
+
+
+def test_scc_kill_and_resume(spark, tmp_path):
+    """SCC checkpoints per outer round (assignments + active set); a run
+    killed between outer rounds resumes and matches the uninterrupted
+    run. A chain of 2-cycles forces one SCC extraction per outer round."""
+    from hipporag_spark.algo.scc import strongly_connected_components
+
+    # cycles {0,1} -> {2,3} -> {4,5}
+    edges = [(0, 1, 1.0), (1, 0, 1.0), (2, 3, 1.0), (3, 2, 1.0),
+             (4, 5, 1.0), (5, 4, 1.0), (1, 2, 1.0), (3, 4, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(6).select(F.col("id"))
+    ckdir = str(tmp_path / "ck9")
+
+    full, full_lin = strongly_connected_components(spark, e, vids, num_blocks=2)
+    want = {(r["id"], r["component"]) for r in full.collect()}
+    assert want == {(0, 0), (1, 0), (2, 2), (3, 2), (4, 4), (5, 4)}
+    n_outer_full = max(l["outer"] for l in full_lin) + 1
+    assert n_outer_full >= 2  # the shape genuinely needs multiple rounds
+
+    part1, lin1 = strongly_connected_components(
+        spark, e, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="s1",
+        max_outer=1,
+    )
+    assert not lin1[-1]["converged"]
+    part2, lin2 = strongly_connected_components(
+        spark, e, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="s1",
+    )
+    got = {(r["id"], r["component"]) for r in part2.collect()}
+    assert got == want
+    assert lin2[-1]["converged"]
+    # resumed run starts at outer round 1 (round 0 is replayed from its
+    # manifest, which carries no per-phase entries — only outer metadata)
+    fresh = [l for l in lin2 if l.get("phase") == "emit"]
+    assert fresh[-1]["outer"] == n_outer_full - 1
