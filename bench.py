@@ -343,22 +343,30 @@ def main() -> None:
     extras["knn_result_rows"] = bench("knn_all_pairs", run_knn)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "trials": n_trials,
-                "trial_walls": trial_walls,
-                "trial_steal_pct": trial_steal,
-                **extras,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "trials": n_trials,
+        "trial_walls": trial_walls,
+        "trial_steal_pct": trial_steal,
+        **extras,
+    }
+    line = json.dumps(result, separators=(",", ":"))
+    # r3 finding: the driver's bounded stdout-tail capture truncated the
+    # result JSON mid-line. Defenses: (1) the full result goes to a
+    # dedicated small file the moment it exists; (2) Spark is stopped
+    # BEFORE the line is printed so no shutdown chatter can land after
+    # it; (3) the line is compact and explicitly flushed as the very
+    # last stdout write.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
+from ..fsio import STATS_RESET_EVERY, truncate_stats
 from ..lifecycle import free_local_checkpoint
 from ..graph.csr import block_of
 
@@ -124,6 +125,13 @@ def connected_components(
             free_local_checkpoint(new_labels)
         else:
             labels = new_labels
+            if not converged and (step + 1) % STATS_RESET_EVERY == 0:
+                # periodic stat reset: localCheckpoint carries the plan's
+                # estimated sizeInBytes forward, and this superstep joins
+                # the state leaf 4× — unbounded rounds otherwise compound
+                # the estimate's digits exponentially (see fsio.truncate_stats)
+                labels = truncate_stats(new_labels, "hipporag_cc_state_")
+                free_local_checkpoint(new_labels)
         old.unpersist()
         free_local_checkpoint(old)
         lineage.append(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
+from ..fsio import STATS_RESET_EVERY, truncate_stats
 from ..lifecycle import free_local_checkpoint
 from ..graph.csr import block_of
 
@@ -111,6 +112,11 @@ def label_propagation(
             free_local_checkpoint(new_labels)
         else:
             labels = new_labels
+            if not converged and (step + 1) % STATS_RESET_EVERY == 0:
+                # bound localCheckpoint-carried sizeInBytes digit growth
+                # (see fsio.truncate_stats)
+                labels = truncate_stats(new_labels, "hipporag_lp_state_")
+                free_local_checkpoint(new_labels)
         old.unpersist()
         free_local_checkpoint(old)
         lineage.append(

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
+from ..fsio import STATS_RESET_EVERY, truncate_stats
 from ..lifecycle import free_local_checkpoint
 from ..graph.csr import block_of
 
@@ -207,6 +208,11 @@ def ppr_forward_push(
             )
         else:
             state = new_state
+            if not converged and (step + 1) % STATS_RESET_EVERY == 0:
+                # bound localCheckpoint-carried sizeInBytes digit growth
+                # (see fsio.truncate_stats)
+                state = truncate_stats(new_state, "hipporag_push_state_")
+                free_local_checkpoint(new_state)
         dmass = new_dmass
         old.unpersist()
         free_local_checkpoint(old)

@@ -19,14 +19,32 @@ outer round, over the ACTIVE vertex set:
      because color(v) is always an active ancestor-or-self of v, and an
      ancestor's ancestor is an ancestor). After the fixpoint, color(v) =
      the smallest active vertex that reaches v.
-  B. backward marking within color: roots are {c : color(c)=c}; propagate
-     reachability-to-root ALONG REVERSED edges but only between
-     same-color endpoints. The marked set of color c is exactly SCC(c):
-     marked ⇒ v →* c within color c and c →* v (that's what color(v)=c
-     means) ⇒ mutual; conversely every w ∈ SCC(c) has color c (any
-     active ancestor of w is an ancestor of all of SCC(c), so w's min
-     ancestor is c's min ancestor = c) and reaches c.
+  B. backward min-label within color: restrict edges to same-color
+     endpoints and propagate bcolor(src) ← min(bcolor(src), bcolor(dst))
+     along REVERSED edges with the same pointer-jump shortcut as A
+     (sound symmetrically: bcolor(v) is a same-class descendant-or-self,
+     and a descendant's descendant is a descendant). The jump shortcuts
+     whenever labels form pointer chains; when the min label propagates
+     against the id ordering (e.g. a directed cycle numbered along its
+     edges) parents stay self-pointers until the wave arrives and rounds
+     degrade to O(SCC diameter) — bounded by ``max_inner`` and raising
+     loudly on exhaustion, never silently partial. At the fixpoint
+     bcolor(v) = the smallest same-class vertex v reaches. The color root c is the
+     minimum id of its class (color(u)=c ⇒ c ≤ u, and color(c)=c), so
+     marked = {v : bcolor(v) = color(v)} is exactly SCC(c): bcolor(v)=c
+     ⇒ v →* c within class, and color(v)=c ⇒ c →* v ⇒ mutual;
+     conversely every w ∈ SCC(c) has color c (any active ancestor of w
+     is an ancestor of all of SCC(c), so w's min ancestor is c's min
+     ancestor = c) and reaches c, so bcolor(w)=c.
   C. emit marked vertices with component = color; deactivate them.
+
+Inner fixpoints are VERIFIED, never assumed: if forward coloring or
+backward labeling exhausts ``max_inner`` with changes still flowing, or
+the outer loop exhausts ``max_outer`` with vertices still active, the
+job raises :class:`SCCNonConvergenceError` instead of emitting partial
+(silently wrong) components (ADVICE r3). The checkpoint manifest written
+before the raise still carries ``converged=False``, so a resume with a
+larger budget continues from completed outer rounds.
 
 Every outer round removes the trimmed singletons plus one whole SCC per
 color root — on real graphs a handful of outer rounds (a pure DAG is
@@ -52,8 +70,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
+from ..fsio import STATS_RESET_EVERY, truncate_stats
 from ..lifecycle import free_local_checkpoint
 from ..graph.csr import block_of
+
+
+class SCCNonConvergenceError(RuntimeError):
+    """An inner fixpoint (forward coloring / backward labeling) or the
+    outer loop exhausted its iteration budget before converging. Raised
+    instead of emitting partial components, which would be silently
+    wrong (a truncated backward pass splits one SCC across ids)."""
 
 
 def strongly_connected_components(
@@ -197,51 +223,116 @@ def strongly_connected_components(
                  (time.time() - t0) * 1000)
             old = colors
             colors = new_colors
+            if changed != 0 and (step + 1) % STATS_RESET_EVERY == 0:
+                # bound localCheckpoint-carried sizeInBytes digit growth
+                # (see fsio.truncate_stats)
+                colors = truncate_stats(new_colors, "hipporag_scc_fwd_")
+                free_local_checkpoint(new_colors)
             old.unpersist()
             free_local_checkpoint(old)
             if changed == 0:
                 break
+        else:
+            raise SCCNonConvergenceError(
+                f"forward coloring still changing after max_inner={max_inner} "
+                f"rounds (outer round {outer}); raise max_inner — emitting "
+                "would split SCCs across colors"
+            )
 
-        # ---- phase B: backward marking within color ----
-        marked = (
-            colors.filter(F.col("id") == F.col("color"))
-            .select("id", "color")
+        # ---- phase B: backward min-label within color (pointer-jumped) ----
+        # same-class edge table, built once per outer round and
+        # pre-partitioned on the per-superstep probe key (dst)
+        # eager localCheckpoint, NOT a lazy persist: this 3-way inner join
+        # would otherwise be re-planned inside every bcolor superstep, and
+        # Catalyst's join sizeInBytes estimate (PRODUCT of children) then
+        # compounds round-over-round into astronomically-digited BigInts —
+        # the measured planning-time pathology documented in algo/hits.py.
+        # Truncating lineage here makes each superstep plan against a
+        # constant-stats leaf, the exact components.py/phase-A shape
+        # (jstack evidence: BigInteger.multiplyToomCook3 under
+        # SizeInBytesOnlyStatsPlanVisitor.visitJoin).
+        cedges = (
+            bwd.join(
+                colors.select(F.col("id").alias("src"), F.col("color").alias("scolor")),
+                "src",
+            )
+            .join(
+                colors.select(F.col("id").alias("dst"), F.col("color").alias("dcolor")),
+                "dst",
+            )
+            .filter(F.col("scolor") == F.col("dcolor"))
+            .select("src", "dst")
+            .repartition(F.col("dst"))
             .localCheckpoint(eager=True)
         )
-        prev_n = marked.count()
+        bcolors = colors.select("id", F.col("id").alias("bcolor")).localCheckpoint(
+            eager=True
+        )
         for step in range(max_inner):
             t0 = time.time()
-            # mark src if an out-edge reaches a marked dst of the SAME color
-            upstream = (
-                bwd.join(
-                    marked.select(F.col("id").alias("dst"), F.col("color").alias("mcolor")),
-                    "dst",
-                )
-                .select(F.col("src").alias("id"), F.col("mcolor").alias("color"))
+            nbr_min = (
+                cedges.join(bcolors.select(F.col("id").alias("dst"), "bcolor"), "dst")
+                .groupBy("src")
+                .agg(F.min("bcolor").alias("nbr"))
+                .withColumnRenamed("src", "id")
             )
-            cand = (
-                upstream.join(colors, ["id", "color"], "left_semi")
-                .unionByName(marked)
-                .distinct()
+            new_b = bcolors.join(nbr_min, "id", "left_outer").select(
+                "id",
+                F.least(
+                    F.col("bcolor"), F.coalesce(F.col("nbr"), F.col("bcolor"))
+                ).alias("bcolor"),
+            )
+            # pointer-jump shortcut: bcolor ← bcolor(bcolor)
+            parent = new_b.select(
+                F.col("id").alias("pid"), F.col("bcolor").alias("pb")
+            )
+            new_b = (
+                new_b.join(parent, new_b.bcolor == parent.pid, "left_outer")
+                .select("id", F.coalesce("pb", "bcolor").alias("bcolor"))
                 .localCheckpoint(eager=False)
             )
             stats = (
-                cand.withColumn("block", block_of(F.col("id"), P))
+                bcolors.select("id", F.col("bcolor").alias("old"))
+                .join(new_b.select("id", F.col("bcolor").alias("new")), "id")
+                .withColumn("block", block_of(F.col("id"), P))
                 .groupBy("block")
-                .agg(F.count("*").alias("rows"))
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum((F.col("old") != F.col("new")).cast("long")).alias("changed"),
+                )
                 .collect()
             )
-            n_new = int(sum(r["rows"] for r in stats))
-            grew = n_new > prev_n
-            _log(outer, "backward", step, n_new - prev_n,
-                 [{"block": r["block"], "rows": r["rows"]} for r in stats],
+            changed = int(sum(r["changed"] for r in stats))
+            _log(outer, "backward", step, changed,
+                 [{"block": r["block"], "rows": r["rows"], "changed": r["changed"]}
+                  for r in stats],
                  (time.time() - t0) * 1000)
-            old = marked
-            marked = cand
-            prev_n = n_new
+            old = bcolors
+            bcolors = new_b
+            if changed != 0 and (step + 1) % STATS_RESET_EVERY == 0:
+                # bound localCheckpoint-carried sizeInBytes digit growth
+                # (see fsio.truncate_stats)
+                bcolors = truncate_stats(new_b, "hipporag_scc_bwd_")
+                free_local_checkpoint(new_b)
+            old.unpersist()
             free_local_checkpoint(old)
-            if not grew:
+            if changed == 0:
                 break
+        else:
+            raise SCCNonConvergenceError(
+                f"backward labeling still changing after max_inner={max_inner} "
+                f"rounds (outer round {outer}); raise max_inner — emitting "
+                "would truncate an SCC into partial components"
+            )
+        free_local_checkpoint(cedges)
+        marked = (
+            bcolors.join(colors, "id")
+            .filter(F.col("bcolor") == F.col("color"))
+            .select("id", "color")
+            .localCheckpoint(eager=True)
+        )
+        bcolors.unpersist()
+        free_local_checkpoint(bcolors)
 
         # ---- phase C: emit + deactivate ----
         done = marked.select("id", F.col("color").alias("component"))
@@ -287,6 +378,12 @@ def strongly_connected_components(
         free_local_checkpoint(old_active)
         if converged:
             break
+    else:
+        raise SCCNonConvergenceError(
+            f"max_outer={max_outer} outer rounds exhausted with vertices "
+            "still active; the result would silently omit them — raise "
+            "max_outer (checkpointed rounds resume with assignments intact)"
+        )
 
     fwd.unpersist()
     bwd.unpersist()

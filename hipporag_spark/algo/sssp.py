@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
+from ..fsio import STATS_RESET_EVERY, truncate_stats
 from ..lifecycle import free_local_checkpoint
 from ..graph.csr import block_of
 
@@ -62,7 +63,10 @@ def shortest_paths(
     # pre-partitioned on src: frontier joins never re-exchange O(E)
     edges = adj.select("src", "dst", "weight").repartition(F.col("src")).persist()
 
-    state = sources.select(
+    # distinct: duplicate source ids would otherwise seed duplicate state
+    # rows that survive every full_outer superstep, breaking the
+    # documented "one row per reached vertex" contract
+    state = sources.select("id").distinct().select(
         "id", F.lit(0.0).alias("dist"), F.lit(True).alias("improved")
     )
     ckpt = None
@@ -135,6 +139,11 @@ def shortest_paths(
             free_local_checkpoint(new_state)
         else:
             state = new_state
+            if not converged and (step + 1) % STATS_RESET_EVERY == 0:
+                # bound localCheckpoint-carried sizeInBytes digit growth
+                # (see fsio.truncate_stats)
+                state = truncate_stats(new_state, "hipporag_sssp_state_")
+                free_local_checkpoint(new_state)
         old.unpersist()
         free_local_checkpoint(old)
         lineage.append(

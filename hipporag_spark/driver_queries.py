@@ -13,9 +13,12 @@ The graph tables are derived deterministically from ``documents``:
 - *word co-occurrence graph*: adjacent-word triples ``(w_i, 'next',
   w_i+1)`` (the fact-edge analog of ``HippoRAG.py:756-772``).
 
-Iterative algorithms (PPR / CC over generic graphs) are not expressible in
-ANSI SQL — they appear in ``queries()`` without an oracle (driver records a
-rows-only check) and carry exact NetworkX/NumPy oracles in ``tests/``.
+Iterative algorithms (PPR, CC, label propagation, k-core, SSSP, HITS,
+forward-push PPR, SCC) DO carry full hash-compared oracles: each is
+expressed as an unrolled fixed-depth CTE (power iteration / min-label /
+relaxation rounds) with convergence guards where the depth is an
+assumption. They additionally carry exact NetworkX/NumPy oracles in
+``tests/``.
 """
 
 from __future__ import annotations
@@ -1522,11 +1525,14 @@ def _sssp_round(k: int) -> str:
 )"""
 
 
-def _sssp_words_sql(rounds: int = 15) -> str:
+def _sssp_words_sql(rounds: int = 20) -> str:
     """Unrolled min-plus relaxation (the ppr_docs/cc_words oracle
-    technique). Each round reaches one more hop; the word co-occurrence
-    graph is small-world (diameter ≪ 15 at any test SF), and rounds past
-    the fixed point are no-ops."""
+    technique). Each round reaches one more hop. The unroll depth is
+    GUARDED, not assumed: if the last round was not a no-op (the seed's
+    eccentricity exceeds ``rounds - 1``), the oracle emits a sentinel
+    ``__ORACLE_NOT_CONVERGED__`` row, turning a too-shallow unroll into
+    a visible rows/hash mismatch instead of silently becoming wrong
+    ground truth (ADVICE r3)."""
     head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
   SELECT DISTINCT s AS a, o AS b FROM trips
 ), nbrs AS MATERIALIZED (
@@ -1537,7 +1543,16 @@ def _sssp_words_sql(rounds: int = 15) -> str:
     ctes = [head] + [_sssp_round(k) for k in range(1, rounds + 1)]
     return (
         ",".join(ctes)
-        + f"\nSELECT id AS word, round(dist, 6) AS dist FROM d{rounds} ORDER BY word"
+        + f"""
+SELECT word, dist FROM (
+  SELECT id AS word, round(dist, 6) AS dist FROM d{rounds}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, -1.0 AS dist
+  WHERE EXISTS (
+    SELECT 1 FROM d{rounds} a FULL JOIN d{rounds - 1} b USING (id)
+    WHERE a.dist IS DISTINCT FROM b.dist
+  )
+) ORDER BY word"""
     )
 
 
@@ -1861,6 +1876,103 @@ FROM seeded ORDER BY doc_id
 """
 
 
+def q_qa_eval(spark, sf_dir):
+    """ExactMatch + token-F1 (``ops/evaluation.exact_match`` /
+    ``token_f1`` — reference ``evaluation/qa_eval.py:19-95``, normalizer
+    ``utils/eval_utils.py:4-31``) over a deterministic QA fixture derived
+    from ``documents``: answer = first 5 words of the doc; golds = (an
+    UPPERCASED copy of the answer when length(text)%3==0 — EM hits through
+    the normalizer — else words 2..6) and words 3..7 (partial token
+    overlap exercising the multiset-F1 path). Output (query_id, em, f1)."""
+    from .ops.evaluation import exact_match, token_f1
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.split(F.col("text"), r"\s+").alias("words"),
+        F.length("text").alias("tl"),
+    ).filter(F.size("words") >= 8)
+    pred = base.select(
+        "query_id",
+        F.concat_ws(" ", F.slice("words", 1, 5)).alias("answer"),
+        F.array(
+            F.when(
+                F.col("tl") % 3 == 0,
+                F.upper(F.concat_ws(" ", F.slice("words", 1, 5))),
+            ).otherwise(F.concat_ws(" ", F.slice("words", 2, 5))),
+            F.concat_ws(" ", F.slice("words", 3, 5)),
+        ).alias("gold_answers"),
+    )
+    em = exact_match(pred)
+    f1 = token_f1(pred)
+    return (
+        em.join(f1, "query_id")
+        .select("query_id", F.round("em", 4).alias("em"), F.round("f1", 4).alias("f1"))
+        .orderBy("query_id")
+    )
+
+
+_QA_NORM = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower({c}),"
+    " '[^\\w\\s]', '', 'g'), '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+SQL_QA_EVAL = f"""
+WITH base AS (
+  SELECT doc_id AS query_id, regexp_split_to_array(text, '\\s+') AS words,
+         length(text) AS tl
+  FROM documents WHERE len(regexp_split_to_array(text, '\\s+')) >= 8
+), pred AS (
+  SELECT query_id,
+         array_to_string(words[1:5], ' ') AS answer,
+         CASE WHEN tl % 3 = 0 THEN upper(array_to_string(words[1:5], ' '))
+              ELSE array_to_string(words[2:6], ' ') END AS g1,
+         array_to_string(words[3:7], ' ') AS g2
+  FROM base
+), np AS (
+  SELECT query_id, {_QA_NORM.format(c='answer')} AS na,
+         {_QA_NORM.format(c='g1')} AS n1, {_QA_NORM.format(c='g2')} AS n2
+  FROM pred
+), em AS (
+  SELECT query_id,
+         CASE WHEN n1 = na OR n2 = na THEN 1.0 ELSE 0.0 END AS em
+  FROM np
+), tok AS (
+  SELECT query_id, 'p' AS side, 0 AS gi, unnest(string_split(na, ' ')) AS t FROM np
+  UNION ALL
+  SELECT query_id, 'g', 1, unnest(string_split(n1, ' ')) FROM np
+  UNION ALL
+  SELECT query_id, 'g', 2, unnest(string_split(n2, ' ')) FROM np
+), pt AS (
+  SELECT query_id, t, count(*) AS c FROM tok WHERE side = 'p' AND t <> ''
+  GROUP BY 1, 2
+), gt AS (
+  SELECT query_id, gi, t, count(*) AS c FROM tok WHERE side = 'g' AND t <> ''
+  GROUP BY 1, 2, 3
+), lens AS (
+  SELECT query_id, sum(c) AS lp FROM pt GROUP BY 1
+), leng AS (
+  SELECT query_id, gi, sum(c) AS lg FROM gt GROUP BY 1, 2
+), ov AS (
+  SELECT g.query_id, g.gi, sum(least(p.c, g.c)) AS n
+  FROM gt g JOIN pt p ON p.query_id = g.query_id AND p.t = g.t
+  GROUP BY 1, 2
+), f1g AS (
+  SELECT l.query_id, l.gi,
+         CASE WHEN coalesce(o.n, 0) = 0 THEN 0.0
+              ELSE 2.0 * (o.n * 1.0 / ls.lp) * (o.n * 1.0 / l.lg)
+                   / ((o.n * 1.0 / ls.lp) + (o.n * 1.0 / l.lg)) END AS f1
+  FROM leng l JOIN lens ls USING (query_id)
+  LEFT JOIN ov o ON o.query_id = l.query_id AND o.gi = l.gi
+), f1m AS (
+  SELECT query_id, max(f1) AS f1 FROM f1g GROUP BY 1
+)
+SELECT p.query_id, round(e.em, 4) AS em, round(coalesce(f.f1, 0.0), 4) AS f1
+FROM pred p JOIN em e USING (query_id) LEFT JOIN f1m f USING (query_id)
+ORDER BY p.query_id
+"""
+
+
 def all_queries() -> dict:
     return {
         "passage_edges": q_passage_edges,
@@ -1878,6 +1990,7 @@ def all_queries() -> dict:
         "triangles_per_vertex": q_triangles_per_vertex,
         "ppr_docs": q_ppr_docs,
         "recall_at_k": q_recall_at_k,
+        "qa_eval": q_qa_eval,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1929,6 +2042,7 @@ def all_oracles() -> dict:
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "ppr_docs": _ppr_docs_sql(),
         "recall_at_k": _recall_sql(),
+        "qa_eval": SQL_QA_EVAL,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

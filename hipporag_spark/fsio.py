@@ -153,6 +153,53 @@ def scratch_dir(prefix: str) -> str:
     return make_spill_dir(prefix)
 
 
+# separate registry from _RANK_SPILLS: iterative loops reset stats every
+# few supersteps, and sharing the result-spill LRU would evict results a
+# caller still holds under its documented SPILL_KEEP retention contract
+_ITER_SPILLS: deque = deque()
+ITER_SPILL_KEEP = int(os.environ.get("SPARK_GRAFT_ITER_SPILL_KEEP", "4"))
+
+
+def truncate_stats(df: DataFrame, prefix: str = "hipporag_iterstate_") -> DataFrame:
+    """Parquet round-trip through the scratch root to RESET carried plan
+    statistics (returns the re-read, whose leaf stats are the real file
+    size).
+
+    Why this exists: ``Dataset.localCheckpoint`` copies the source plan's
+    estimated ``sizeInBytes`` into the new ``LogicalRDD`` leaf
+    (``LogicalRDD.rewriteStatsAndConstraints``), and Catalyst's non-CBO
+    join estimate is the BigInt PRODUCT of the children. An iterative job
+    whose superstep joins the previous state leaf m>1 times (min-label +
+    pointer jump: m=4) therefore multiplies the estimate's DIGIT COUNT by
+    m every round — measured as exponential driver-side planning time
+    (4096-chain CC: per-round wall 0.9s → 5.7s over the last 5 of 13
+    rounds, jstack pinned in ``BigInteger.multiplyToomCook3`` under
+    ``SizeInBytesOnlyStatsPlanVisitor``). Durable-checkpoint runs never
+    see this (CheckpointManager state is parquet-backed); in-memory runs
+    call this every few supersteps to keep digit growth bounded. At
+    cluster scale the write goes to ``SPARK_GRAFT_SCRATCH_DIR`` shared
+    storage; locally it lands on the RAM-backed spill dir."""
+    spark = df.sparkSession
+    path = scratch_dir(prefix)
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    _ITER_SPILLS.append(path)
+    while len(_ITER_SPILLS) > ITER_SPILL_KEEP:
+        old = _ITER_SPILLS.popleft()
+        try:
+            fs_delete(spark, old)
+        except Exception:
+            pass
+        release_spill_dir(old)
+    return out
+
+
+# supersteps between stat resets in the in-memory iterative loops: digits
+# grow ≤4× per round, so 6 rounds from a parquet leaf (~6 digits) stays
+# ≤ ~25k digits — cheap BigInt territory
+STATS_RESET_EVERY = int(os.environ.get("SPARK_GRAFT_STATS_RESET_EVERY", "6"))
+
+
 def spill_df(df: DataFrame, prefix: str = "hipporag_spill_") -> DataFrame:
     """Materialize ``df`` to parquet under the scratch root, return the
     re-read. The result is plan-truncated and stays valid after the blocks

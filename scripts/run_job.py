@@ -39,6 +39,11 @@ def main() -> None:
     p.add_argument("--output", default=None)
     p.add_argument("--damping", type=float, default=0.5)
     p.add_argument("--reset-top-entities", type=int, default=5)
+    p.add_argument(
+        "--max-iter", type=int, default=100,
+        help="superstep budget; with --checkpoint-dir a budget-exhausted "
+        "run leaves resumable checkpoints (kill/resume drills)",
+    )
     args = p.parse_args()
 
     spark = SparkSession.builder.appName(f"hipporag_spark_{args.algorithm}").getOrCreate()
@@ -67,13 +72,15 @@ def main() -> None:
         reset = spark.createDataFrame([(int(i), 1.0) for i in ids], "id long, weight double")
         result, lineage = personalized_pagerank(
             spark, adj, st, vids, n_vertices=n, reset_df=reset, damping=args.damping,
+            max_iter=args.max_iter,
             checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
         )
     elif args.algorithm == "cc":
         from hipporag_spark.algo.components import connected_components
 
         result, lineage = connected_components(
-            spark, adj, vids, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id
+            spark, adj, vids, max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
         )
     elif args.algorithm == "lp":
         from hipporag_spark.algo.labelprop import label_propagation

@@ -572,3 +572,48 @@ def test_scc_dag_and_cycles(spark):
     assert outers == {0, 1}, outers
     trims = [l for l in lineage if l["phase"] == "trim" and l["changed"] < 0]
     assert trims and trims[0]["changed"] == -2  # 5 and 6 trimmed together
+
+
+def test_scc_refuses_partial_emission(spark):
+    """ADVICE r3: exhausting an inner/outer budget mid-propagation must
+    raise, never emit a truncated SCC under multiple component ids."""
+    from hipporag_spark.algo.scc import (
+        SCCNonConvergenceError,
+        strongly_connected_components,
+    )
+
+    # one big directed 24-cycle: forward coloring with pointer jumping
+    # needs ~log2(24) rounds, so max_inner=2 cannot reach its fixpoint
+    n = 24
+    edges = [(i, (i + 1) % n, 1.0) for i in range(n)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(n).select(F.col("id"))
+    with pytest.raises(SCCNonConvergenceError):
+        strongly_connected_components(spark, e, vids, num_blocks=2, max_inner=2)
+
+    # sane budgets solve it: one SCC rooted at 0
+    comp, lineage = strongly_connected_components(spark, e, vids, num_blocks=2)
+    assert {(r["id"], r["component"]) for r in comp.collect()} == {
+        (i, 0) for i in range(n)
+    }
+    assert lineage[-1]["converged"]
+    # forward jumps shortcut here (ids align with propagation); backward
+    # degenerates to O(diameter) on this orientation — documented worst
+    # case, bounded and loud, never silently partial
+    fwd_rounds = len([l for l in lineage if l["phase"] == "forward"])
+    bwd_rounds = len([l for l in lineage if l["phase"] == "backward"])
+    assert fwd_rounds <= 10 and bwd_rounds <= n + 2, (fwd_rounds, bwd_rounds)
+
+
+def test_sssp_duplicate_sources_dedup(spark):
+    """ADVICE r3: duplicate ids in `sources` must not yield duplicate
+    (id, dist) rows."""
+    from hipporag_spark.algo.sssp import shortest_paths
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    src = spark.createDataFrame([(0,), (0,), (0,)], "id long")
+    dist, _ = shortest_paths(spark, e, src, num_blocks=2)
+    rows = sorted((r["id"], r["dist"]) for r in dist.collect())
+    assert rows == [(0, 0.0), (1, 1.0), (2, 2.0)]

@@ -2,6 +2,7 @@
 checkpoint, converge to scores identical to an uninterrupted run."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from hipporag_spark.algo.components import connected_components
@@ -293,11 +294,16 @@ def test_scc_kill_and_resume(spark, tmp_path):
     n_outer_full = max(l["outer"] for l in full_lin) + 1
     assert n_outer_full >= 2  # the shape genuinely needs multiple rounds
 
-    part1, lin1 = strongly_connected_components(
-        spark, e, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="s1",
-        max_outer=1,
-    )
-    assert not lin1[-1]["converged"]
+    # max_outer=1 simulates a kill after the first outer round; the
+    # engine refuses to emit the partial result (ADVICE r3) but has
+    # already checkpointed round 0, so the rerun resumes from it
+    from hipporag_spark.algo.scc import SCCNonConvergenceError
+
+    with pytest.raises(SCCNonConvergenceError, match="max_outer"):
+        strongly_connected_components(
+            spark, e, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="s1",
+            max_outer=1,
+        )
     part2, lin2 = strongly_connected_components(
         spark, e, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="s1",
     )
