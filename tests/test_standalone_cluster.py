@@ -161,7 +161,9 @@ def test_ppr_resume_across_worker_restart(cluster, tmp_path):
     """Packed-block PPR on 2 executors with shared file:// scratch: a
     budget-exhausted run leaves durable superstep checkpoints; one worker
     JVM is killed and replaced; the resumed submission converges and
-    matches an uninterrupted local[2] reference run to 1e-9."""
+    matches an uninterrupted local[2] reference run within the north
+    rule's allclose(1e-6) (different parallelism ⇒ different float
+    accumulation order; measured cross-topology spread ~1e-8)."""
     job = str(tmp_path / "run_job.py")
     shutil.copy(os.path.join(REPO, "scripts", "run_job.py"), job)
     scratch = {"SPARK_GRAFT_SCRATCH_DIR": f"file://{cluster['dir']}/scratch"}
@@ -219,7 +221,7 @@ def test_ppr_resume_across_worker_restart(cluster, tmp_path):
     n_a = con.execute(f"SELECT count(*) FROM '{out2}/result/*.parquet'").fetchone()[0]
     n_b = con.execute(f"SELECT count(*) FROM '{ref_out}/result/*.parquet'").fetchone()[0]
     assert n_a == n_b and n_a > 0
-    assert diff < 1e-9, diff
+    assert diff < 1e-6, diff
 
 
 def test_driver_query_on_cluster_matches_oracle(cluster, tmp_path):
