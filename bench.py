@@ -275,6 +275,87 @@ def main() -> None:
     extras["ppr_push_supersteps"] = len(fp_lin)
     extras["ppr_push_touched"] = fp_touched
 
+    # ---- forward-push LOCALITY demonstration (r3 verdict item #5) ----
+    # The point of push is touched ≪ V. The repo graph is one near-connected
+    # component (touched ≈ 93% of V above), so replicate it into K disjoint
+    # shifted copies and seed in copy 0: exact PPR must sweep all K·E edges
+    # every superstep, push only ever expands copy 0's neighborhood, so
+    # touched/V ≤ 1/K by construction. Both engines run the SAME input.
+    K_LOCAL = 50
+    pad = n_vertices + 1
+    copies = spark.range(K_LOCAL).select(F.col("id").alias("c"))
+    adj_multi = (
+        adj.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("src") + F.col("c") * pad).alias("src"),
+            (F.col("dst") + F.col("c") * pad).alias("dst"),
+            "weight",
+        )
+        .persist()
+    )
+    st_multi = (
+        st.crossJoin(F.broadcast(copies))
+        .select((F.col("id") + F.col("c") * pad).alias("id"), "strength")
+        .persist()
+    )
+    verts_multi = (
+        verts.select("id")
+        .crossJoin(F.broadcast(copies))
+        .select((F.col("id") + F.col("c") * pad).alias("id"))
+        .persist()
+    )
+    n_vertices_multi = verts_multi.count()
+    extras["ppr_push_local_E"] = adj_multi.count()
+    st_multi.count()
+    seed_local = spark.createDataFrame([(int(ids[0]), 1.0)], "id long, weight double")
+
+    def run_push_local():
+        scores, lin = ppr_forward_push(
+            spark, adj_multi, st_multi, seed_local, damping=0.5, eps=1e-6,
+            num_blocks=blocks,
+        )
+        return lin, scores.count()
+
+    pl_lin, pl_touched = bench("ppr_push_local", run_push_local)
+    extras["ppr_push_local_supersteps"] = len(pl_lin)
+    extras["ppr_push_local_touched"] = pl_touched
+    extras["ppr_push_local_V"] = n_vertices_multi
+    extras["ppr_push_local_touched_frac"] = round(pl_touched / n_vertices_multi, 4)
+
+    # comparator = the blocked/shuffle EXACT engine: the same execution
+    # regime as push at the target scale (the broadcast engine is the
+    # graph-fits-in-RAM special case, unavailable at 10^12 edges). Block
+    # compile is the one-time index build, timed separately.
+    multi_state: dict = {}
+
+    def run_multi_compile():
+        if multi_state:
+            multi_state["bg"].unpersist()
+        multi_state["bg"] = compile_blocks(
+            adj_multi, st_multi, verts_multi, default_num_blocks(extras["ppr_push_local_E"])
+        )
+        return multi_state["bg"]
+
+    bench("ppr_multi_compile_blocks", run_multi_compile)
+
+    def run_exact_local():
+        ranks, lin = personalized_pagerank(
+            spark, adj_multi, st_multi, verts_multi,
+            n_vertices=n_vertices_multi, reset_df=seed_local, damping=0.5,
+            engine="csr", graph=multi_state["bg"],
+        )
+        ranks.count()
+        return lin
+
+    bench("ppr_exact_on_multi", run_exact_local)
+    multi_state["bg"].unpersist()
+    extras["ppr_push_local_speedup_vs_exact"] = round(
+        timings["ppr_exact_on_multi"] / max(timings["ppr_push_local"], 1e-9), 2
+    )
+    adj_multi.unpersist()
+    st_multi.unpersist()
+    verts_multi.unpersist()
+
     from hipporag_spark.algo.scc import strongly_connected_components
 
     def run_scc():
@@ -341,6 +422,60 @@ def main() -> None:
         return nn.count()
 
     extras["knn_result_rows"] = bench("knn_all_pairs", run_knn)
+
+    # ---- IVF ANN vs brute force: recall + wall (r3 verdict item #6) ----
+    # Reuses the R×-replicated embedding table (exact duplicates land in
+    # the same inverted list, and both engines share the (score desc,
+    # vec_id asc) tie rule, so id-based recall is well-defined). The index
+    # is built once (the amortized serving shape) and timed separately;
+    # the query pass probes nprobe of num_centroids lists — an 8× candidate
+    # cut at these settings.
+    from hipporag_spark.ops.similarity import brute_force_topk, ivf_index, ivf_topk
+
+    ivf_items = items.select(F.col("key").alias("vec_id"), "embedding")
+    ann_q = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .select(
+            F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias("query_id"),
+            "embedding",
+        )
+    )
+    ivf_state: dict = {}
+
+    def run_ivf_build():
+        if ivf_state:
+            ivf_state["assigned"].unpersist()
+        cents, assigned = ivf_index(ivf_items, num_centroids=32, lloyd_iters=2)
+        cents = cents.persist()
+        assigned = assigned.persist()
+        assigned.count()
+        ivf_state.update(cents=cents, assigned=assigned)
+        return ivf_state
+
+    bench("ivf_index_build", run_ivf_build)
+
+    iv_rows = bench(
+        "ann_ivf_topk",
+        lambda: ivf_topk(
+            ivf_items, ann_q, k=10, nprobe=6,
+            index=(ivf_state["cents"], ivf_state["assigned"]),
+        ).collect(),
+    )
+    bf_rows = bench(
+        "ann_bruteforce_topk",
+        lambda: brute_force_topk(ivf_items, ann_q, k=10).collect(),
+    )
+    bf_sets: dict[str, set] = {}
+    for r in bf_rows:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf_hits = sum(1 for r in iv_rows if r["vec_id"] in bf_sets[r["query_id"]])
+    extras["ivf_recall_at_10"] = round(ivf_hits / max(1, len(bf_sets) * 10), 4)
+    extras["ivf_num_centroids"] = 32
+    extras["ivf_nprobe"] = 6
+    extras["ivf_speedup_vs_bruteforce"] = round(
+        timings["ann_bruteforce_topk"] / max(timings["ann_ivf_topk"], 1e-9), 2
+    )
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -366,6 +366,129 @@ def _lp_words_sql(rounds: int = 10) -> str:
     )
 
 
+def _hub_graph_ids(spark, sf_dir):
+    """SKEWED power-law fixture (VERDICT r3 next-step #10): the word graph
+    PLUS one hub vertex per first character (``h_<char>``), connected to
+    every word starting with it. Hub degrees are ~V/Σ(alphabet) — orders of
+    magnitude above the word graph's median — so the min-label and vote
+    aggregations run their hub-key (composite/salted aggregation) paths
+    under the DRIVER ORACLE, not just in pytest's synthetic hub tests."""
+    from .graph.ids import assign_dense_ids
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    words = (
+        t.select(F.col("a").alias("name"))
+        .unionAll(t.select(F.col("b").alias("name")))
+        .distinct()
+    )
+    hub_pairs = words.select(
+        F.col("name").alias("a"),
+        F.concat(F.lit("h_"), F.substring("name", 1, 1)).alias("b"),
+    )
+    names = words.unionAll(hub_pairs.select(F.col("b").alias("name"))).distinct()
+    ids = assign_dense_ids(names, "name").persist()
+    pairs = t.select("a", "b").unionAll(hub_pairs)
+    e = (
+        pairs.join(ids.select(F.col("name").alias("a"), F.col("id").alias("src")), "a")
+        .join(ids.select(F.col("name").alias("b"), F.col("id").alias("dst")), "b")
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return e, ids
+
+
+# hub-fixture oracle CTEs: word pairs + per-first-char hub pairs
+_HUB_GRAPH_CTES = (
+    _WORD_GRAPH_CTES
+    + """, words AS (
+  SELECT s AS w FROM trips UNION SELECT o AS w FROM trips
+), hubp AS (
+  SELECT w AS a, 'h_' || substr(w, 1, 1) AS b FROM words
+)"""
+)
+
+
+def q_cc_hub(spark, sf_dir):
+    """Connected components over the skewed hub fixture — same output
+    contract as ``connected_components_words``: (word, component_word)."""
+    from .algo.components import connected_components
+    from .graph.build import adjacency
+
+    e, ids = _hub_graph_ids(spark, sf_dir)
+    comp, _ = connected_components(spark, adjacency(e), ids.select("id"), num_blocks=8)
+    return (
+        comp.join(ids.select("id", F.col("name").alias("word")), "id")
+        .join(
+            ids.select(
+                F.col("id").alias("component"), F.col("name").alias("component_word")
+            ),
+            "component",
+        )
+        .select("word", "component_word")
+        .orderBy("word")
+    )
+
+
+def _cc_hub_sql(rounds: int = 12) -> str:
+    """Same unrolled min-label + pointer-jump oracle as ``_cc_words_sql``,
+    over the hub-augmented pair set (hubs shrink diameters, so 12 rounds
+    remain a safe over-cover)."""
+    head = f"""WITH {_HUB_GRAPH_CTES}, und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, o AS b FROM trips
+    UNION SELECT a, b FROM hubp
+  )
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), c0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id, a AS lab FROM nbrs
+)"""
+    ctes = [head] + [_cc_words_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"\nSELECT id AS word, lab AS component_word FROM c{rounds} ORDER BY word"
+    )
+
+
+def q_label_prop_hub(spark, sf_dir):
+    """Deterministic LPA over the skewed hub fixture; output
+    (word, label_word), id-free (same contract as the words variant)."""
+    from .algo.labelprop import label_propagation
+    from .graph.build import adjacency
+
+    e, ids = _hub_graph_ids(spark, sf_dir)
+    labels, _ = label_propagation(
+        spark, adjacency(e), ids.select("id"), max_iter=10, num_blocks=8
+    )
+    return (
+        labels.join(ids.select("id", F.col("name").alias("word")), "id")
+        .join(
+            ids.select(F.col("id").alias("label"), F.col("name").alias("label_word")),
+            "label",
+        )
+        .select("word", "label_word")
+        .orderBy("word")
+    )
+
+
+def _lp_hub_sql(rounds: int = 10) -> str:
+    head = f"""WITH {_HUB_GRAPH_CTES}, adjw AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT s AS src, o AS dst FROM trips
+    UNION ALL SELECT o AS src, s AS dst FROM trips
+    UNION ALL SELECT a AS src, b AS dst FROM hubp
+    UNION ALL SELECT b AS src, a AS dst FROM hubp
+  ) GROUP BY src, dst
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, src AS lab FROM adjw
+)"""
+    ctes = [head] + [_lp_words_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"\nSELECT id AS word, lab AS label_word FROM l{rounds} ORDER BY word"
+    )
+
+
 def q_kcore_words(spark, sf_dir):
     """k-core membership + in-core degree of the word graph
     (``algo/kcore.k_core``, synchronous peeling to fixpoint). Output is
@@ -1980,6 +2103,8 @@ def all_queries() -> dict:
         "connected_components_star": q_cc_star,
         "connected_components_words": q_cc_words,
         "label_propagation_words": q_label_prop_words,
+        "connected_components_hub": q_cc_hub,
+        "label_propagation_hub": q_label_prop_hub,
         "kcore_words": q_kcore_words,
         "sssp_words": q_sssp_words,
         "link_prediction_words": q_link_prediction_words,
@@ -2032,6 +2157,8 @@ def all_oracles() -> dict:
         "connected_components_star": SQL_CC_STAR,
         "connected_components_words": _cc_words_sql(),
         "label_propagation_words": _lp_words_sql(),
+        "connected_components_hub": _cc_hub_sql(),
+        "label_propagation_hub": _lp_hub_sql(),
         "kcore_words": _kcore_words_sql(),
         "sssp_words": _sssp_words_sql(),
         "link_prediction_words": SQL_LINK_PREDICTION_WORDS,

@@ -115,8 +115,13 @@ def ivf_index(
 
     Returns ``(centroids(cid, cemb), assigned(vec_id, embedding, cid))``.
 
-    - Seeds: the ``num_centroids`` items with smallest ``md5(vec_id)``
-      (content-addressed — identical at any cluster size, no RNG state).
+    - Seeds: the ``num_centroids`` items with smallest ``xxhash64(vec_id)``
+      (content-addressed — identical at any cluster size, no RNG state),
+      found by an adaptive hash-threshold filter: keep only rows whose
+      hash falls below a cutoff sized for ~16·C expected survivors, then
+      order just that O(C) candidate set. The full table is never sorted
+      and never carries embeddings through a global ordering — at 100 TB
+      the seeding cost is one count + one filtered scan.
     - ``lloyd_iters`` k-means refinements, each one Spark pass: assign via
       broadcast centroid table + ``max_by`` argmax (cosine), then the
       element-wise member mean via ``posexplode`` + two-phase keyed
@@ -127,15 +132,7 @@ def ivf_index(
       driver.
     """
     items = embeddings.select("vec_id", "embedding")
-    cents = (
-        items.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(num_centroids)
-        .select(
-            F.row_number().over(Window.orderBy("h", "vec_id")).alias("cid"),
-            F.col("embedding").alias("cemb"),
-        )
-    )
+    cents = _seed_centroids(items, num_centroids)
     for _ in range(lloyd_iters):
         assigned = _assign(items, cents)
         summed = (
@@ -152,6 +149,38 @@ def ivf_index(
             F.transform("cemb", lambda x: x / norm).alias("cemb"),
         )
     return cents, _assign(items, cents)
+
+
+def _seed_centroids(items: DataFrame, num_centroids: int) -> DataFrame:
+    """Deterministic seed selection with NO global sort.
+
+    Uniform ``xxhash64`` keys + an adaptive cutoff: only rows whose hash
+    lands in the bottom ``frac`` of the int64 range survive the filter, so
+    the subsequent ordering touches O(num_centroids) rows regardless of
+    table size. ``frac`` starts at 16·C/n (≥16× expected survivors — the
+    probability of an undershoot is Chernoff-negligible) and widens 4× on
+    the rare undershoot; the loop is bounded by frac reaching 1.0, where
+    the filter is a no-op and correctness degrades to the tiny-table case.
+    """
+    n = items.count()
+    frac = min(1.0, (num_centroids * 16) / max(n, 1))
+    hashed = items.withColumn(
+        "h", F.xxhash64(F.col("vec_id").cast("string"))
+    )
+    while True:
+        cutoff = min(int(-(2**63) + frac * (2**64)), 2**63 - 1)
+        cand = hashed.filter(F.col("h") <= F.lit(cutoff))
+        if frac >= 1.0 or cand.count() >= num_centroids:
+            break
+        frac = min(1.0, frac * 4)
+    return (
+        cand.orderBy("h", "vec_id")
+        .limit(num_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("h", "vec_id")).alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+    )
 
 
 def _assign(items: DataFrame, cents: DataFrame) -> DataFrame:
