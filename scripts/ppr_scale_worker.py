@@ -128,7 +128,18 @@ def main() -> None:
     )
     from hipporag_spark.session import get_spark
 
-    spark = get_spark(parallelism=cpus, app_name=f"ppr_scale_{workload}")
+    if os.environ.get("SCALE_CLUSTER_MODE") == "1":
+        # launched via spark-submit against a standalone master: the
+        # master URL, executor cores/memory, and ALL Spark confs arrive
+        # from the submit command (pinned identically across the N / 4N
+        # pair by scripts/cluster_scaling_bench.py) — do NOT override
+        # them here or the two points stop running the same job
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName(f"ppr_scale_{workload}").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark(parallelism=cpus, app_name=f"ppr_scale_{workload}")
     df = spark.range(E)
     edges = df.select(
         (F.abs(F.xxhash64(F.lit("s"), "id")) % V).alias("src"),
@@ -228,6 +239,12 @@ def main() -> None:
     out["trial_walls"] = walls
     out["wall_sec"] = best
     out["query_edges_per_sec"] = round(iters_total * E / best, 1)
+    if os.environ.get("SCALE_CLUSTER_MODE") == "1":
+        # counted AFTER the trials (registration is async at startup);
+        # driver block-manager counts as one endpoint, executors the rest
+        n_endpoints = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        out["executors"] = max(0, n_endpoints - 1)
+        out["master"] = spark.sparkContext.master
     print(json.dumps(out))
 
 
