@@ -259,6 +259,37 @@ def main() -> None:
     h_lin = bench("hits", run_hits)
     extras["hits_supersteps"] = len(h_lin)
 
+    from hipporag_spark.algo.katz import katz_centrality
+
+    # α data-derived (0.5 / max weighted in-strength ≤ 0.5/λ_max): always
+    # contracting, any input — same rule as the driver-gate katz_words
+    katz_alpha = 0.5 / (
+        built["edges"].groupBy("dst").agg(F.sum("weight").alias("ws"))
+        .agg(F.max("ws")).collect()[0][0]
+    )
+
+    def run_katz():
+        scores, k_lin = katz_centrality(
+            spark, built["edges"], verts.select("id"), alpha=katz_alpha, beta=1.0,
+            max_iter=10, tol=1e-8, num_blocks=blocks,
+        )
+        scores.count()
+        return k_lin
+
+    k_lin = bench("katz", run_katz)
+    extras["katz_supersteps"] = len(k_lin)
+
+    from hipporag_spark.algo.walks import random_walks
+
+    def run_walks():
+        # DeepWalk-style corpus: every vertex seeds 2 walks of length 8
+        # (the embedding-training sampling shape); xxhash64 = scale mode
+        seeds = verts.select(F.col("id").alias("vertex"))
+        return random_walks(adj, seeds, length=8, walks_per_seed=2,
+                            hash_fn="xxhash64").count()
+
+    extras["walk_corpus_rows"] = bench("random_walks", run_walks)
+
     from hipporag_spark.algo.ppr_push import ppr_forward_push
 
     def run_ppr_push():

@@ -1792,6 +1792,118 @@ FROM a{rounds} a JOIN h{rounds} h ON h.id = a.id ORDER BY word"""
     )
 
 
+def q_katz_words(spark, sf_dir):
+    """Katz centrality (``algo/katz``) over the DIRECTED weighted word
+    graph (s→o pairs, parallel pairs summed), forced to exactly 15
+    rounds (``tol=0``) so the unrolled-CTE oracle replays the truncated
+    path series bit-comparably at 6 dp — the fixed-round technique of
+    ``hits_words``/``ppr_docs``. α is DATA-DERIVED: 0.5 / max weighted
+    in-strength ≤ 0.5/λ_max guarantees contraction on any input (a fixed
+    α either diverges — values ~1e14 at sf0.001, past the 6-dp float64
+    edge — or flattens to ≈β on a bigger graph); the in-strengths are
+    integer counts, so both sides compute the identical exact float64
+    α."""
+    from .algo.katz import katz_centrality
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    w = e.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+    max_in = (
+        w.groupBy("dst").agg(F.sum("w").alias("ws")).agg(F.max("ws")).collect()[0][0]
+    )
+    scores, _ = katz_centrality(
+        spark, e, ids.select("id"), alpha=0.5 / max_in, beta=1.0,
+        max_iter=15, tol=0.0, num_blocks=8,
+    )
+    return (
+        scores.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", F.round("katz", 6).alias("katz"))
+        .orderBy("word")
+    )
+
+
+def _katz_round(k: int) -> str:
+    return f"""k{k} AS MATERIALIZED (
+  SELECT v.id, 1.0 + (SELECT a FROM al) * coalesce(s.insum, 0.0) AS val FROM verts v
+  LEFT JOIN (
+    SELECT e.o AS id, sum(e.w * p.val) AS insum
+    FROM ed e JOIN k{k - 1} p ON p.id = e.s GROUP BY e.o
+  ) s ON s.id = v.id
+)"""
+
+
+def _katz_words_sql(rounds: int = 15) -> str:
+    """Unrolled Katz iteration x ← β + α·Aᵀx, x₀ = β (β=1, α = 0.5 /
+    max weighted in-strength — exact float64 on both sides) — identical
+    per-round arithmetic to the engine's superstep."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, ed AS MATERIALIZED (
+  SELECT s, o, CAST(count(*) AS DOUBLE) AS w FROM trips GROUP BY s, o
+), verts AS MATERIALIZED (
+  SELECT DISTINCT s AS id FROM ed UNION SELECT DISTINCT o AS id FROM ed
+), al AS MATERIALIZED (
+  SELECT 0.5 / max(ws) AS a FROM (SELECT o, sum(w) AS ws FROM ed GROUP BY o)
+), k0 AS MATERIALIZED (
+  SELECT id, 1.0 AS val FROM verts
+)"""
+    ctes = [head] + [_katz_round(k) for k in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT id AS word, round(val, 6) AS katz FROM k{rounds} ORDER BY word"""
+    )
+
+
+def q_random_walks_words(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus (``algo/walks``) over the
+    directed word graph, walking the STRING vertices directly: 8
+    lexicographically-smallest seed words × 2 replicas × 6 steps, next
+    hop = argmin md5(walk_id:step:neighbor) over the out-neighbor set
+    (``hash_fn="md5"`` — the oracle-comparable mode; xxhash64 is the
+    100 TB default)."""
+    from .algo.walks import random_walks
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs)).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    seeds = (
+        t.select(F.col("src").alias("vertex")).distinct().orderBy("vertex").limit(8)
+    )
+    return random_walks(t, seeds, length=6, walks_per_seed=2, hash_fn="md5").orderBy(
+        "walk_id", "step"
+    )
+
+
+def _walks_round(k: int) -> str:
+    return f"""w{k} AS MATERIALIZED (
+  SELECT walk_id, seed, {k} AS step,
+         arg_min(e.dst, md5(walk_id || ':' || '{k}' || ':' || e.dst) || ':' || e.dst) AS vertex
+  FROM w{k - 1} c JOIN ed e ON e.src = c.vertex
+  GROUP BY walk_id, seed
+)"""
+
+
+def _walks_words_sql(length: int = 6) -> str:
+    """Replays the identical argmin-hash draw: md5 of the same salted
+    string; the ``|| ':' || dst`` suffix pins the (hash, dst) tie-break
+    the engine's min(struct(hash, dst)) uses (md5 is fixed-width, so the
+    concatenation compares hash first, dst only on a full-hash tie)."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, ed AS MATERIALIZED (
+  SELECT DISTINCT s AS src, o AS dst FROM trips
+), seeds AS MATERIALIZED (
+  SELECT DISTINCT src FROM ed ORDER BY src LIMIT 8
+), w0 AS MATERIALIZED (
+  SELECT src || '#' || r AS walk_id, src AS seed, 0 AS step, src AS vertex
+  FROM seeds, (SELECT unnest(['0', '1']) AS r)
+)"""
+    ctes = [head] + [_walks_round(k) for k in range(1, length + 1)]
+    return (
+        ",".join(ctes)
+        + "\nSELECT walk_id, seed, step, vertex FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(length + 1))
+        + ") ORDER BY walk_id, step"
+    )
+
+
 def q_ppr_push_words(spark, sf_dir):
     """Approximate local PPR by synchronous forward push
     (``algo/ppr_push``) seeded at the lexicographically smallest word,
@@ -2109,6 +2221,8 @@ def all_queries() -> dict:
         "sssp_words": q_sssp_words,
         "link_prediction_words": q_link_prediction_words,
         "hits_words": q_hits_words,
+        "katz_words": q_katz_words,
+        "random_walks_words": q_random_walks_words,
         "ppr_push_words": q_ppr_push_words,
         "scc_words": q_scc_words,
         "triangle_count_words": q_triangles_words,
@@ -2163,6 +2277,8 @@ def all_oracles() -> dict:
         "sssp_words": _sssp_words_sql(),
         "link_prediction_words": SQL_LINK_PREDICTION_WORDS,
         "hits_words": _hits_words_sql(),
+        "katz_words": _katz_words_sql(),
+        "random_walks_words": _walks_words_sql(),
         "ppr_push_words": _ppr_push_words_sql(),
         "scc_words": _scc_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,

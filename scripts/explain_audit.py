@@ -187,6 +187,55 @@ def main() -> None:
           "!ArrowEvalPython", "!BatchEvalPython"])
     )
 
+    # 12b. Katz superstep: contribution sum is a partial (map-side)
+    #      aggregate over the equi-join — no cross join, all-JVM
+    katz_state = spark.range(100).select("id", F.lit(1.0).alias("katz"))
+    k_adj = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    contrib = (
+        k_adj.join(katz_state, k_adj.src == katz_state.id)
+        .groupBy("dst")
+        .agg(F.sum(F.col("weight") * F.col("katz")).alias("insum"))
+    )
+    katz_step = (
+        katz_state.select("id")
+        .join(contrib.withColumnRenamed("dst", "id"), "id", "left_outer")
+        .select(
+            "id",
+            (F.lit(1.0) + F.lit(0.01) * F.coalesce(F.col("insum"), F.lit(0.0))).alias("katz"),
+        )
+    )
+    p = plan_of(katz_step)
+    sections.append(
+        ("katz superstep: partial aggs, no cross join, all-JVM", p,
+         ["partial_sum", "!CartesianProduct", "!BroadcastNestedLoopJoin",
+          "!ArrowEvalPython", "!BatchEvalPython"])
+    )
+
+    # 12c. random-walk step: frontier × out-adjacency equi-join + a
+    #      two-phase min(struct(hash, dst)) argmin — map-side combinable,
+    #      NO window/sort, no cartesian in the hot path, all-JVM
+    from hipporag_spark.algo.walks import _step_hash
+
+    w_edges = adjacency(e).select("src", "dst").distinct()
+    frontier = spark.range(50).select(
+        F.col("id").cast("string").alias("walk_id"),
+        F.col("id").cast("string").alias("seed"),
+        (F.col("id") % 97).alias("vertex"),
+    )
+    h = _step_hash("xxhash64", 3, F.col("dst"))
+    walk_step = (
+        frontier.join(w_edges, frontier.vertex == w_edges.src)
+        .groupBy("walk_id", "seed")
+        .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("m"))
+        .select("walk_id", "seed", F.col("m.d").alias("vertex"))
+    )
+    p = plan_of(walk_step)
+    sections.append(
+        ("random-walk step: two-phase argmin, no window, all-JVM", p,
+         ["partial_min", "!CartesianProduct", "!BroadcastNestedLoopJoin",
+          "!ArrowEvalPython", "!BatchEvalPython", "!Window"])
+    )
+
     # 13. iterative edge reuse: with broadcast disabled (the at-scale
     #     regime where the state side no longer broadcasts), a CC
     #     superstep must NOT re-exchange the pre-partitioned O(E) edge

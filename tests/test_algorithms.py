@@ -617,3 +617,126 @@ def test_sssp_duplicate_sources_dedup(spark):
     dist, _ = shortest_paths(spark, e, src, num_blocks=2)
     rows = sorted((r["id"], r["dist"]) for r in dist.collect())
     assert rows == [(0, 0.0), (1, 1.0), (2, 2.0)]
+
+
+def _katz_reference(n, edges, alpha, beta, rounds):
+    """NumPy mirror of algo/katz semantics: x ← β + α·Aᵀx, x₀ = β,
+    directed weighted adjacency with parallel edges summed."""
+    A = np.zeros((n, n))
+    for u, v, w in edges:
+        A[u, v] += w
+    x = np.full(n, beta)
+    for _ in range(rounds):
+        x = beta + alpha * (A.T @ x)
+    return x
+
+
+def test_katz_fixed_rounds_matches_numpy(spark):
+    from hipporag_spark.algo.katz import katz_centrality
+
+    n = 40
+    edges = random_multigraph(n, 200, 31)
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(n).select(F.col("id"))
+    scores, lineage = katz_centrality(
+        spark, e, vids, alpha=0.01, beta=1.0, max_iter=12, tol=0.0, num_blocks=4
+    )
+    got = {r["id"]: r["katz"] for r in scores.collect()}
+    want = _katz_reference(n, edges, 0.01, 1.0, 12)
+    assert len(lineage) == 12 and not lineage[-1]["converged"]
+    for i in range(n):
+        assert abs(got[i] - want[i]) < 1e-9
+
+
+def test_katz_converged_matches_linear_solve(spark):
+    """At convergence x = β·(I − αAᵀ)⁻¹·1 — compare to the direct dense
+    solve (requires α < 1/λ_max, ensured by α = 0.5/max-in-strength)."""
+    from hipporag_spark.algo.katz import katz_centrality
+
+    n = 30
+    edges = random_multigraph(n, 150, 37)
+    A = np.zeros((n, n))
+    for u, v, w in edges:
+        A[u, v] += w
+    alpha = 0.5 / A.sum(axis=0).max()
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    vids = spark.range(n).select(F.col("id"))
+    scores, lineage = katz_centrality(
+        spark, e, vids, alpha=alpha, beta=1.0, max_iter=200, tol=1e-12, num_blocks=4
+    )
+    assert lineage[-1]["converged"]
+    want = np.linalg.solve(np.eye(n) - alpha * A.T, np.full(n, 1.0))
+    got = {r["id"]: r["katz"] for r in scores.collect()}
+    for i in range(n):
+        assert abs(got[i] - want[i]) < 1e-8
+
+
+def test_katz_isolated_vertex_scores_beta(spark):
+    from hipporag_spark.algo.katz import katz_centrality
+
+    e = spark.createDataFrame([(0, 1, 2.0)], "src long, dst long, weight double")
+    vids = spark.range(3).select(F.col("id"))
+    scores, _ = katz_centrality(
+        spark, e, vids, alpha=0.1, beta=1.0, max_iter=50, tol=1e-12, num_blocks=2
+    )
+    got = {r["id"]: r["katz"] for r in scores.collect()}
+    assert got[2] == 1.0          # no in-edges at all
+    assert abs(got[1] - 1.2) < 1e-12  # 1 + 0.1·2.0·x(0), x(0)=1
+    assert got[0] == 1.0
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Walk corpus invariants: (a) identical output at different
+    parallelism, (b) every consecutive hop is a real edge, (c) steps are
+    contiguous from 0, (d) walk count = seeds × replicas, (e) replicas of
+    one seed diverge (salted hash), (f) md5 and xxhash64 modes both yield
+    valid (generally different) corpora."""
+    from hipporag_spark.algo.walks import random_walks
+
+    n = 25
+    edges = random_multigraph(n, 120, 41)
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(i,) for i in range(6)], "vertex long")
+    edge_set = {(str(u), str(v)) for u, v, _ in edges}
+
+    corpora = {}
+    for fn in ("md5", "xxhash64"):
+        w = random_walks(e, seeds, length=5, walks_per_seed=2, hash_fn=fn)
+        rows = sorted((r["walk_id"], r["step"], r["vertex"]) for r in w.collect())
+        corpora[fn] = rows
+
+        by_walk = {}
+        for wid, step, v in rows:
+            by_walk.setdefault(wid, []).append((step, v))
+        assert len(by_walk) == 12  # 6 seeds × 2 replicas
+        for wid, path in by_walk.items():
+            path.sort()
+            assert [s for s, _ in path] == list(range(len(path)))  # contiguous
+            for (s1, v1), (_s2, v2) in zip(path, path[1:]):
+                assert (v1, v2) in edge_set, (wid, s1, v1, v2)
+
+        # replicas of at least one seed must diverge
+        p0 = {wid: tuple(v for _, v in sorted(p)) for wid, p in by_walk.items()}
+        assert any(
+            p0[f"{s}#0"] != p0[f"{s}#1"] for s in map(str, range(6))
+        )
+
+    # repartitioned input ⇒ identical corpus (determinism at any parallelism)
+    w2 = random_walks(e.repartition(7), seeds.coalesce(1), length=5,
+                      walks_per_seed=2, hash_fn="md5")
+    rows2 = sorted((r["walk_id"], r["step"], r["vertex"]) for r in w2.collect())
+    assert rows2 == corpora["md5"]
+    assert corpora["md5"] != corpora["xxhash64"]  # different draw sequences
+
+
+def test_random_walks_dangling_truncates(spark):
+    from hipporag_spark.algo.walks import random_walks
+
+    # 0 → 1 → 2, and 2 is dangling: every walk is exactly 0,1,2 then stops
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    w = random_walks(e, seeds, length=10, walks_per_seed=1, hash_fn="xxhash64")
+    rows = sorted((r["step"], r["vertex"]) for r in w.collect())
+    assert rows == [(0, "0"), (1, "1"), (2, "2")]

@@ -314,3 +314,38 @@ def test_scc_kill_and_resume(spark, tmp_path):
     # manifest, which carries no per-phase entries — only outer metadata)
     fresh = [l for l in lin2 if l.get("phase") == "emit"]
     assert fresh[-1]["outer"] == n_outer_full - 1
+
+
+def test_katz_kill_and_resume(spark, tmp_path):
+    """Katz resumes from the superstep checkpoint: a fixed-round run killed
+    at round 4 and resumed to round 8 equals the uninterrupted 8-round
+    run bit-for-bit (integer-count weights ⇒ identical float paths)."""
+    from hipporag_spark.algo.katz import katz_centrality
+
+    n = 16
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % n, 1.0 + (i % 3)) for i in range(n)]
+        + [(i, (i * 5 + 2) % n, 1.0) for i in range(n)],
+        "src long, dst long, weight double",
+    )
+    vids = spark.range(n).select(F.col("id"))
+    ckdir = str(tmp_path / "ck_katz")
+
+    full, _ = katz_centrality(
+        spark, e, vids, alpha=0.05, beta=1.0, max_iter=8, tol=0.0, num_blocks=2
+    )
+    want = {r["id"]: r["katz"] for r in full.collect()}
+
+    part1, lin1 = katz_centrality(
+        spark, e, vids, alpha=0.05, beta=1.0, max_iter=4, tol=0.0, num_blocks=2,
+        checkpoint_dir=ckdir, run_id="k1",
+    )
+    assert not lin1[-1]["converged"]
+    part2, lin2 = katz_centrality(
+        spark, e, vids, alpha=0.05, beta=1.0, max_iter=8, tol=0.0, num_blocks=2,
+        checkpoint_dir=ckdir, run_id="k1",
+    )
+    got = {r["id"]: r["katz"] for r in part2.collect()}
+    assert lin2[-1]["superstep"] == 7
+    for i in range(n):
+        assert abs(got[i] - want[i]) < 1e-12
