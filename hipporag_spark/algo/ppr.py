@@ -61,7 +61,6 @@ from pyspark.sql import functions as F
 from ..checkpointing import CheckpointManager, SuperstepCheckpoint
 from ..fsio import spill_df
 from ..graph.blocked import BlockGraph, build_runstate, compile_blocks, default_num_blocks
-from ..graph.csr import block_of
 from ..lifecycle import free_local_checkpoint
 
 __all__ = [
@@ -190,7 +189,7 @@ def _load_dang(spill_dir: str, blk: int) -> np.ndarray:
     return d
 
 
-def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, num_blocks: int):
+def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, fanout_labels: list[int]):
     """Stage-1 kernel over the PACKED rank rows (one row per block carrying
     the (nq, n_b) matrix flattened query-major): per src-block SpMV for all
     queries in one shot, emitting ONE pre-aggregated partial row per dst
@@ -216,8 +215,8 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, num_blocks: int):
             if len(dang)
             else np.zeros(nq)
         )
-        for j in range(num_blocks):
-            rows.append((j, 2, blk, None, dmass))
+        for lbl in fanout_labels:
+            rows.append((lbl, 2, blk, None, dmass))
         g = _load_block(spill_dir, blk)
         if g is not None:
             V = v_flat.reshape(nq, -1)
@@ -443,7 +442,12 @@ def _ppr_blocked(
     # and a JVM-side aggregate + broadcast fans the global sum back out —
     # same dataflow, one extra (tiny) stage, no driver barrier either way
     fanout = P <= _K2_FANOUT_MAX
-    spmv = _make_spmv_kernel(damping, nq, bg.spill_dir, P if fanout else 1)
+    all_labels = bg.fanout_labels()
+    # non-fanout emits ONE kind=2 row per src block; its dblk value is
+    # discarded (filtered on kind==2 and re-fanned via the JVM aggregate)
+    spmv = _make_spmv_kernel(
+        damping, nq, bg.spill_dir, all_labels if fanout else all_labels[:1]
+    )
     combine = _make_combine_kernel(damping, nq, uniform_mask, n)
     fused = (
         _make_fused_kernel(damping, nq, bg.spill_dir, uniform_mask, n)

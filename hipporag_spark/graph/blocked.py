@@ -58,6 +58,59 @@ SUBBLOCK_SCHEMA = (
 )
 
 
+# routed block labels are searched only while the whole label table is a
+# trivial driver collect; past this, blocks ≫ cores and hash collisions
+# stop mattering (each core runs many tasks per stage, so a 2-block task
+# averages out instead of gating the stage)
+_ROUTE_MAX_BLOCKS = int(os.environ.get("SPARK_GRAFT_ROUTE_MAX_BLOCKS", "4096"))
+
+
+def route_labels(spark, num_blocks: int) -> list[int] | None:
+    """Block labels whose shuffle placement is a BIJECTION onto the loop's
+    ``num_blocks`` partitions.
+
+    Why: the superstep loop scopes ``spark.sql.shuffle.partitions`` to P
+    and groups by the block column, so task placement is
+    ``pmod(murmur3(block), P)``. With raw labels 0..P-1 that's balls-in-
+    bins — at P=33, several partitions carry 2-3 blocks while others are
+    empty, and each stage's wall is gated by the heaviest task. The
+    straggler costs ~(max_load-1)/(P/cores) of the stage: ~6% at 2 cores
+    (16 task waves absorb it) but ~20%+ at 8 cores (4 waves) — measured
+    here as exactly the N→4N efficiency gap of the blocked engine.
+
+    Fix: pick P integer labels with pairwise-distinct ``pmod(hash, P)``
+    (first-fit over a small candidate scan, coupon-collector ≈ P·ln P
+    candidates). Hash values come FROM Spark (``F.hash`` = the
+    Murmur3Hash(seed=42) that HashPartitioning uses), so the bijection is
+    exact by construction and deterministic across sessions — resume-safe.
+    Returns None (identity labels) past :data:`_ROUTE_MAX_BLOCKS`."""
+    P = int(num_blocks)
+    if P <= 1 or P > _ROUTE_MAX_BLOCKS:
+        return None
+    rows = (
+        spark.range(64 * P)
+        .select(F.pmod(F.hash(F.col("id").cast("int")), F.lit(P)).alias("p"))
+        .collect()
+    )
+    first: dict[int, int] = {}
+    for i, r in enumerate(rows):
+        if r["p"] not in first:
+            first[r["p"]] = i
+            if len(first) == P:
+                break
+    if len(first) < P:  # astronomically unlikely in 64·P candidates
+        return None
+    return [first[b] for b in range(P)]
+
+
+def label_col(raw, labels: list[int] | None):
+    """Map a raw 0..P-1 block column to its routed label (identity when
+    routing is off). The array literal constant-folds."""
+    if labels is None:
+        return raw
+    return F.element_at(F.array(*[F.lit(int(x)) for x in labels]), raw + 1).cast("int")
+
+
 def default_num_blocks(n_edges: int) -> int:
     """Block count is a DATA property (~EDGES_PER_BLOCK adjacency rows per
     block), independent of cluster size: two cluster sizes must run the
@@ -85,6 +138,12 @@ class BlockGraph:
     # a shared store (or executor-local disk — hash partitioning gives each
     # executor a stable block working set, so the mmap cache still hits).
     spill_dir: str | None = None
+    # routed block labels (see route_labels): labels[b] is the label of
+    # raw block b; None = identity (routing off past _ROUTE_MAX_BLOCKS)
+    labels: list[int] | None = None
+
+    def fanout_labels(self) -> list[int]:
+        return self.labels if self.labels is not None else list(range(self.num_blocks))
 
     def unpersist(self) -> None:
         from ..lifecycle import free_local_checkpoint
@@ -115,13 +174,13 @@ def compile_blocks(
     """
     spark = adj.sparkSession
     P = int(num_blocks)
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    labels = route_labels(spark, P)
 
     v = (
         vertex_ids.select("id")
         .join(strength_df, "id", "left_outer")
         .select("id", F.coalesce("strength", F.lit(0.0)).alias("strength"))
-        .withColumn("block", block_of(F.col("id"), P))
+        .withColumn("block", label_col(block_of(F.col("id"), P), labels))
     )
 
     def build_vstate(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -137,10 +196,13 @@ def compile_blocks(
     # lineage (extraction pipelines have huge expression trees — measured
     # ~2s/superstep of pure analysis). Checkpointing truncates the plan to
     # a LogicalRDD while keeping the block hash-partitioning.
+    # partitioned by (block, P): with routed labels this is exactly one
+    # block per partition, which the superstep loop's P-scoped shuffle
+    # reuses without a re-exchange and without balls-in-bins stragglers
     vstate = (
         v.groupBy("block")
         .applyInPandas(build_vstate, VSTATE_SCHEMA)
-        .repartition(sp, "block")
+        .repartition(P, "block")
         .localCheckpoint(eager=True)
     )
 
@@ -191,7 +253,7 @@ def compile_blocks(
     subblocks = (
         e.groupBy("sblk", "dblk")
         .applyInPandas(build_sub, SUBBLOCK_SCHEMA)
-        .repartition(sp, "block")
+        .repartition(P, "block")
         .localCheckpoint(eager=True)
     )
 
@@ -211,6 +273,7 @@ def compile_blocks(
         vstate=vstate,
         subblocks=subblocks,
         spill_dir=spill_dir,
+        labels=labels,
     )
 
 
@@ -304,13 +367,14 @@ def build_runstate(
     scalar inside the superstep kernel (no dense array materialized).
     """
     spark = bg.vstate.sparkSession
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     P = bg.num_blocks
     qpos = {q: i for i, q in enumerate(qids)}
 
     if reset_rows is None:
         reset_rows = spark.createDataFrame([], "query_id string, id long, reset double")
-    rb = reset_rows.withColumn("block", block_of(F.col("id"), P))
+    rb = reset_rows.withColumn(
+        "block", label_col(block_of(F.col("id"), P), bg.labels)
+    )
 
     def kernel(vst_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(vst_pdf) == 0:
@@ -342,6 +406,6 @@ def build_runstate(
         bg.vstate.groupby("block")
         .cogroup(rb.groupby("block"))
         .applyInPandas(kernel, RUNSTATE_SCHEMA)
-        .repartition(sp, "block")
+        .repartition(P, "block")
         .localCheckpoint(eager=True)
     )

@@ -107,3 +107,28 @@ def test_graph_info_counts(spark, tiny_files):
     assert info["num_total_nodes"] == info["num_phrase_nodes"] + 9
     assert info["num_total_edges"] == sum(info["edges_by_type"].values())
     assert info["edges_by_type"]["passage"] > 0 and info["edges_by_type"]["fact"] > 0
+
+
+def test_route_labels_bijection_onto_partitions(spark):
+    """route_labels(P) must return P labels whose Spark-hash placement
+    (pmod(murmur3(label), P)) covers every partition exactly once — the
+    property the blocked engine relies on to avoid balls-in-bins
+    stragglers (graph/blocked.py:route_labels)."""
+    from pyspark.sql import functions as F
+
+    from hipporag_spark.graph.blocked import route_labels
+
+    for P in (2, 3, 8, 33, 129):
+        labels = route_labels(spark, P)
+        assert labels is not None and len(labels) == P
+        assert len(set(labels)) == P
+        placed = (
+            spark.createDataFrame([(int(x),) for x in labels], "lbl int")
+            .select(F.pmod(F.hash("lbl"), F.lit(P)).alias("p"))
+            .collect()
+        )
+        assert sorted(r["p"] for r in placed) == list(range(P))
+    # past the cap: identity (routing off)
+    import hipporag_spark.graph.blocked as blocked_mod
+
+    assert route_labels(spark, blocked_mod._ROUTE_MAX_BLOCKS + 1) is None
