@@ -522,17 +522,23 @@ def main() -> None:
         **extras,
     }
     line = json.dumps(result, separators=(",", ":"))
-    # r3 finding: the driver's bounded stdout-tail capture truncated the
-    # result JSON mid-line. Defenses: (1) the full result goes to a
-    # dedicated small file the moment it exists; (2) Spark is stopped
-    # BEFORE the line is printed so no shutdown chatter can land after
-    # it; (3) the line is compact and explicitly flushed as the very
-    # last stdout write.
+    # r3 finding: the driver's bounded stdout-tail capture (~3 KB)
+    # truncated the result JSON mid-line — the full record at sf0.1 is
+    # ~4 KB and grows with trial count. Defenses: (1) the full result
+    # goes to a dedicated small file the moment it exists; (2) Spark is
+    # stopped BEFORE the line is printed so no shutdown chatter can land
+    # after it; (3) the PRINTED line drops the per-trial arrays (they
+    # live in BENCH_RESULT.json, pointed at by trial_detail) so it stays
+    # well under the tail buffer, and is flushed as the very last write.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json")
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
+    slim = {
+        k: v for k, v in result.items() if k not in ("trial_walls", "trial_steal_pct")
+    }
+    slim["trial_detail"] = "BENCH_RESULT.json"
     spark.stop()
-    print(line, flush=True)
+    print(json.dumps(slim, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
