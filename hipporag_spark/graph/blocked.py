@@ -115,8 +115,18 @@ def default_num_blocks(n_edges: int) -> int:
     """Block count is a DATA property (~EDGES_PER_BLOCK adjacency rows per
     block), independent of cluster size: two cluster sizes must run the
     same physical plan for scaling comparisons to mean anything. Blocks ≫
-    cores is fine — tasks queue."""
-    return int(max(1, n_edges // EDGES_PER_BLOCK + 1))
+    cores is fine — tasks queue.
+
+    The ceiling is rounded UP to a power of two so the per-stage task
+    count divides evenly into power-of-two core/executor counts (the
+    shapes clusters actually come in). Wave quantization is otherwise a
+    real scaling tax exactly when blocks ≈ cores: 33 blocks over 8 cores
+    is 5 task waves with the last one 7/8 idle (~20% of the stage), vs
+    17/16.5 ≈ 3% over 2 cores — measured as a 2→8 efficiency loss. Powers
+    of two keep every wave full at any power-of-two parallelism while
+    staying purely data-derived."""
+    need = int(max(1, -(-n_edges // EDGES_PER_BLOCK)))
+    return 1 << (need - 1).bit_length()
 
 
 @dataclass

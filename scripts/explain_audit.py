@@ -236,6 +236,28 @@ def main() -> None:
           "!ArrowEvalPython", "!BatchEvalPython", "!Window"])
     )
 
+    # 12d. MIS round: two semi-joins against the active set + a map-side
+    #      combinable min-neighbor aggregate — no cartesian, no window,
+    #      all-JVM (algo/mis.py's superstep body)
+    mis_edges = adjacency(e).select("src", "dst")
+    mis_active = spark.range(97).select("id")
+    live = mis_edges.join(mis_active, mis_edges.src == mis_active.id, "left_semi").join(
+        mis_active, mis_edges.dst == mis_active.id, "left_semi"
+    )
+    minnbr = live.groupBy("src").agg(F.min("dst").alias("mn"))
+    mis_cand = (
+        mis_active.join(minnbr, mis_active.id == minnbr.src, "left_outer")
+        .filter(F.col("mn").isNull() | (F.col("id") < F.col("mn")))
+        .select("id")
+    )
+    p = plan_of(mis_cand)
+    sections.append(
+        ("mis round: semi-joins + partial min-neighbor agg, all-JVM", p,
+         ["partial_min", "LeftSemi", "!CartesianProduct",
+          "!BroadcastNestedLoopJoin", "!ArrowEvalPython", "!BatchEvalPython",
+          "!Window"])
+    )
+
     # 13. iterative edge reuse: with broadcast disabled (the at-scale
     #     regime where the state side no longer broadcasts), a CC
     #     superstep must NOT re-exchange the pre-partitioned O(E) edge
