@@ -155,3 +155,35 @@ def shortest_paths(
 
     edges.unpersist()
     return state.select("id", "dist"), lineage
+
+
+def landmark_harmonic(
+    spark: SparkSession,
+    adj: DataFrame,
+    seeds: list[int],
+    max_iter: int = 100,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Landmark harmonic centrality: ``harmonic(id, harmonic)`` with
+    ``harmonic = Σ_{s ∈ seeds, 0 < d(s,id) < ∞} 1 / d(s,id)`` — the
+    standard landmark/pivot approximation of harmonic centrality (exact
+    harmonic needs all-pairs distances, quadratic at web scale; a fixed
+    landmark set is the classic scalable estimator). Only vertices reached
+    by at least one seed at positive distance appear.
+
+    One :func:`shortest_paths` run per seed — per-seed distances cannot be
+    recovered from one multi-source run (that returns the min over seeds).
+    Each run is frontier-sparse over the same pre-partitioned edge table;
+    the per-seed results are tiny (reached set) and union cheaply.
+    """
+    per_seed = []
+    for s in seeds:
+        src = spark.createDataFrame([(int(s),)], "id long")
+        dist, _ = shortest_paths(spark, adj, src, max_iter=max_iter, num_blocks=num_blocks)
+        per_seed.append(dist.filter(F.col("dist") > 0))
+    alld = per_seed[0]
+    for d in per_seed[1:]:
+        alld = alld.unionByName(d)
+    return alld.groupBy("id").agg(
+        F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic")
+    )

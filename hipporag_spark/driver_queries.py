@@ -1904,6 +1904,285 @@ def _walks_words_sql(length: int = 6) -> str:
     )
 
 
+def q_pagerank_words(spark, sf_dir):
+    """GLOBAL PageRank over the undirected weighted word graph — the
+    first algorithm the BASELINE.json north rule names. A zero reset
+    vector selects the uniform-teleport path (SimpleGraph.kt:139-140
+    semantics: PPR with uniform reset IS classic PageRank), so this runs
+    the same blocked engine as ``ppr_docs`` with tol=1e-12 (both sides
+    well inside the 8-dp hash rounding; see q_ppr_docs)."""
+    from .algo.ppr import personalized_pagerank
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    from .graph.build import adjacency, strength
+
+    adj = adjacency(e)
+    st = strength(adj)
+    n = ids.count()
+    zero = spark.createDataFrame([(0, 0.0)], "id long, weight double")
+    ranks, _ = personalized_pagerank(
+        spark, adj, st, ids.select("id"), n_vertices=n, reset_df=zero,
+        num_blocks=8, tol=1e-12,
+    )
+    return (
+        ranks.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", F.round("value", 8).alias("score"))
+        .orderBy("word")
+    )
+
+
+def _pagerank_iter_cte(k: int) -> str:
+    p = f"it{k - 1}"
+    return f"""it{k} AS MATERIALIZED (
+  SELECT v.name,
+         0.5 * (1.0 + dm.mass) / (SELECT n FROM nv)
+         + 0.5 * coalesce(c.contrib, 0.0) AS value
+  FROM verts v
+  LEFT JOIN (SELECT a.dst AS name, sum(p.value * a.wn) AS contrib
+             FROM {p} p JOIN adjn a ON a.src = p.name GROUP BY a.dst) c
+         ON c.name = v.name
+  CROSS JOIN (SELECT coalesce(sum(p.value), 0.0) AS mass FROM {p} p
+              LEFT JOIN strength_t s ON s.name = p.name WHERE s.name IS NULL) dm
+)"""
+
+
+def _pagerank_words_sql(iterations: int = 60) -> str:
+    """The ppr_docs power-iteration oracle with a uniform reset: r' =
+    0.5·(1+danglingMass)/n + 0.5·Σ r[u]·w(u,v)/strength(u), unrolled 60
+    rounds (residual ≈ 0.5^60, the fixed point to double precision). The
+    word graph's symmetric adjacency leaves no dangling vertices, so the
+    mass term is an exact 0 on both sides."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, adjw AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT s AS src, o AS dst FROM trips
+    UNION ALL SELECT o AS src, s AS dst FROM trips
+  ) GROUP BY src, dst
+), strength_t AS MATERIALIZED (
+  SELECT src AS name, sum(w) AS strength FROM adjw GROUP BY src
+), adjn AS MATERIALIZED (
+  SELECT a.src, a.dst, a.w / s.strength AS wn FROM adjw a JOIN strength_t s ON a.src = s.name
+), verts AS MATERIALIZED (
+  SELECT DISTINCT src AS name FROM adjw
+), nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts
+), it0 AS MATERIALIZED (
+  SELECT name, 1.0/(SELECT n FROM nv) AS value FROM verts
+)"""
+    ctes = [head] + [_pagerank_iter_cte(k) for k in range(1, iterations + 1)]
+    return (
+        ",".join(ctes)
+        + f"\nSELECT name AS word, round(value, 8) AS score FROM it{iterations} ORDER BY word"
+    )
+
+
+def q_mis_words(spark, sf_dir):
+    """Lexicographically-first maximal independent set (``algo/mis``,
+    deterministic greedy-by-priority Luby rounds, priority = dense id ≡
+    word order) over the generic word graph. Output is id-free
+    ``(word, mis_round)`` — MIS members only, with the superstep each
+    entered (a stronger pin than membership alone: it fixes the whole
+    round structure against the oracle)."""
+    from .algo.mis import maximal_independent_set
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    mis, _ = maximal_independent_set(
+        spark, adjacency(e), ids.select("id"), num_blocks=8
+    )
+    return (
+        mis.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", F.col("round").alias("mis_round"))
+        .orderBy("word")
+    )
+
+
+def _mis_round_cte(k: int) -> str:
+    """One synchronous greedy round, exactly mis.py's superstep: active
+    local minima enter (c), their active neighbors leave (o)."""
+    p = f"a{k - 1}"
+    return f"""mn{k} AS MATERIALIZED (
+  SELECT nb.a AS id, min(nb.b) AS mn
+  FROM nbrs nb JOIN {p} s ON s.id = nb.a JOIN {p} t ON t.id = nb.b
+  GROUP BY nb.a
+), c{k} AS MATERIALIZED (
+  SELECT a.id FROM {p} a LEFT JOIN mn{k} m ON m.id = a.id
+  WHERE m.mn IS NULL OR a.id < m.mn
+), a{k} AS MATERIALIZED (
+  SELECT id FROM {p}
+  WHERE id NOT IN (SELECT id FROM c{k})
+    AND id NOT IN (
+      SELECT DISTINCT nb.b FROM nbrs nb
+      JOIN c{k} c ON c.id = nb.a JOIN {p} t ON t.id = nb.b
+    )
+)"""
+
+
+def _mis_words_sql(rounds: int = 16) -> str:
+    """Greedy-MIS rounds UNROLLED, with the sssp_words convergence
+    sentinel (ADVICE r3): if the active set survives ``rounds`` rounds,
+    the oracle emits ``__ORACLE_NOT_CONVERGED__`` — a visible mismatch
+    instead of silently-wrong ground truth. Hubs resolve in round 1, so
+    16 rounds dwarf any small-world co-occurrence graph's depth."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), a0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id FROM nbrs
+)"""
+    ctes = [head] + [_mis_round_cte(k) for k in range(1, rounds + 1)]
+    members = " UNION ALL ".join(
+        f"SELECT id AS word, {k - 1} AS mis_round FROM c{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word, mis_round FROM (
+  {members}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, -1 AS mis_round
+  WHERE EXISTS (SELECT 1 FROM a{rounds})
+) ORDER BY word"""
+    )
+
+
+def q_harmonic_words(spark, sf_dir):
+    """Landmark harmonic centrality (``algo/sssp.landmark_harmonic``)
+    from the 4 lexicographically smallest words: harmonic(v) = Σ_seeds
+    1/d(seed,v) over positive finite hop distances — the standard
+    scalable estimator (exact harmonic needs all-pairs). Output id-free
+    ``(word, harmonic)``, only words reached by ≥1 seed."""
+    from .algo.sssp import landmark_harmonic
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    adj = adjacency(e).withColumn("weight", F.lit(1.0))
+    seeds = [r["id"] for r in ids.orderBy("id").limit(4).collect()]
+    h = landmark_harmonic(spark, adj, seeds, num_blocks=8)
+    return (
+        h.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", "harmonic")
+        .orderBy("word")
+    )
+
+
+def _harmonic_seed_round(s: int, k: int) -> str:
+    p = f"s{s}d{k - 1}"
+    return f"""s{s}d{k} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM {p}
+    UNION ALL
+    SELECT nb.b AS id, d.dist + 1.0 AS dist FROM {p} d JOIN nbrs nb ON nb.a = d.id
+  ) GROUP BY id
+)"""
+
+
+def _harmonic_words_sql(rounds: int = 12, n_seeds: int = 4) -> str:
+    """Per-seed unrolled BFS (the sssp_words oracle) × ``n_seeds``
+    lexicographically-smallest seeds, then Σ 1/dist over positive
+    distances. Same convergence sentinel per seed chain."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), sv AS MATERIALIZED (
+  SELECT a AS id, row_number() OVER (ORDER BY a) AS rn
+  FROM (SELECT DISTINCT a FROM nbrs)
+)"""
+    ctes = [head]
+    for s in range(n_seeds):
+        ctes.append(
+            f"""s{s}d0 AS MATERIALIZED (
+  SELECT id, 0.0 AS dist FROM sv WHERE rn = {s + 1}
+)"""
+        )
+        ctes.extend(_harmonic_seed_round(s, k) for k in range(1, rounds + 1))
+    reached = " UNION ALL ".join(
+        f"SELECT id, dist FROM s{s}d{rounds} WHERE dist > 0" for s in range(n_seeds)
+    )
+    sentinels = " OR ".join(
+        f"""EXISTS (
+      SELECT 1 FROM s{s}d{rounds} a FULL JOIN s{s}d{rounds - 1} b USING (id)
+      WHERE a.dist IS DISTINCT FROM b.dist)"""
+        for s in range(n_seeds)
+    )
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word, harmonic FROM (
+  SELECT id AS word, round(sum(1.0 / dist), 6) AS harmonic
+  FROM ({reached}) GROUP BY id
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, -1.0 AS harmonic
+  WHERE {sentinels}
+) ORDER BY word"""
+    )
+
+
+def q_degree_stats_words(spark, sf_dir):
+    """Whole-graph degree statistics + degree assortativity (Newman
+    Pearson r of endpoint degrees over the directed neighbor list) of the
+    undirected word graph — the one-pass profile run before any iterative
+    job to size blocks and spot skew. All-integer sums, one final float
+    expression → bit-comparable at 6 dp."""
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    und = t.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    nbrs = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = nbrs.groupBy("u").agg(F.count("*").alias("d"))
+    dd = (
+        nbrs.join(deg.select(F.col("u").alias("_su"), F.col("d").alias("dx")), F.col("u") == F.col("_su"))
+        .join(deg.select(F.col("u").alias("_sv"), F.col("d").alias("dy")), F.col("v") == F.col("_sv"))
+        .select("dx", "dy")
+    )
+    sums = dd.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    degs = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.max("d").alias("max_degree"),
+        F.sum("d").alias("sum_d"),
+    )
+    return degs.crossJoin(sums).select(
+        "n_vertices",
+        (F.col("sum_d") / F.lit(2)).cast("long").alias("n_edges"),
+        F.round(F.col("sum_d") / F.col("n_vertices"), 6).alias("avg_degree"),
+        "max_degree",
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+SQL_DEGREE_STATS_WORDS = f"""
+WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v FROM trips
+), nbrs AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), deg AS (
+  SELECT u, count(*) AS d FROM nbrs GROUP BY u
+), dd AS (
+  SELECT a.d AS dx, b.d AS dy FROM nbrs n JOIN deg a ON a.u = n.u JOIN deg b ON b.u = n.v
+), sums AS (
+  SELECT count(*) AS m, sum(dx) AS sx, sum(dx * dy) AS sxy, sum(dx * dx) AS sxx FROM dd
+), degs AS (
+  SELECT count(*) AS n_vertices, max(d) AS max_degree, sum(d) AS sum_d FROM deg
+)
+SELECT n_vertices,
+       CAST(sum_d / 2 AS BIGINT) AS n_edges,
+       round(sum_d * 1.0 / n_vertices, 6) AS avg_degree,
+       max_degree,
+       round((m * sxy - sx * sx) * 1.0 / (m * sxx - sx * sx), 6) AS assortativity
+FROM degs, sums
+"""
+
+
 def q_ppr_push_words(spark, sf_dir):
     """Approximate local PPR by synchronous forward push
     (``algo/ppr_push``) seeded at the lexicographically smallest word,
@@ -2223,6 +2502,10 @@ def all_queries() -> dict:
         "hits_words": q_hits_words,
         "katz_words": q_katz_words,
         "random_walks_words": q_random_walks_words,
+        "pagerank_words": q_pagerank_words,
+        "mis_words": q_mis_words,
+        "harmonic_words": q_harmonic_words,
+        "degree_stats_words": q_degree_stats_words,
         "ppr_push_words": q_ppr_push_words,
         "scc_words": q_scc_words,
         "triangle_count_words": q_triangles_words,
@@ -2279,6 +2562,10 @@ def all_oracles() -> dict:
         "hits_words": _hits_words_sql(),
         "katz_words": _katz_words_sql(),
         "random_walks_words": _walks_words_sql(),
+        "pagerank_words": _pagerank_words_sql(),
+        "mis_words": _mis_words_sql(),
+        "harmonic_words": _harmonic_words_sql(),
+        "degree_stats_words": SQL_DEGREE_STATS_WORDS,
         "ppr_push_words": _ppr_push_words_sql(),
         "scc_words": _scc_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,

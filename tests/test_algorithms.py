@@ -740,3 +740,101 @@ def test_random_walks_dangling_truncates(spark):
     w = random_walks(e, seeds, length=10, walks_per_seed=1, hash_fn="xxhash64")
     rows = sorted((r["step"], r["vertex"]) for r in w.collect())
     assert rows == [(0, "0"), (1, "1"), (2, "2")]
+
+
+def test_mis_greedy_by_id_exact(spark):
+    """MIS must equal the sequential greedy-by-id independent set (the
+    lexicographically-first MIS the synchronous rounds are defined to
+    compute), and be independent + maximal."""
+    from hipporag_spark.algo.mis import maximal_independent_set
+
+    n = 60
+    edges = random_multigraph(n, 150, 11)
+    adj, st, vids = make_graph(spark, n, edges)
+    mis, lineage = maximal_independent_set(spark, adj, vids, num_blocks=4)
+    got = {r["id"] for r in mis.collect()}
+
+    nbrs = {}
+    for u, v, _ in edges:
+        if u != v:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+    want = set()
+    for v in range(n):  # sequential greedy by id
+        if not (nbrs.get(v, set()) & want):
+            want.add(v)
+    assert got == want
+    # independence + maximality directly
+    for v in got:
+        assert not (nbrs.get(v, set()) & (got - {v}))
+    for v in set(range(n)) - got:
+        assert nbrs.get(v, set()) & got
+    assert lineage[-1]["converged"]
+
+
+def test_mis_isolated_vertices_and_duplicates(spark):
+    """Isolated vertices all enter in round 0; duplicate vertex ids do
+    not duplicate output rows."""
+    from hipporag_spark.algo.mis import maximal_independent_set
+
+    adj, st, vids = make_graph(spark, 4, [(0, 1, 1.0)])
+    dup = vids.unionAll(vids)  # ids 0..3, vertices 2,3 isolated
+    mis, _ = maximal_independent_set(spark, adj, dup, num_blocks=2)
+    rows = {(r["id"], r["round"]) for r in mis.collect()}
+    assert rows == {(0, 0), (2, 0), (3, 0)}
+
+
+def test_landmark_harmonic_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.sssp import landmark_harmonic
+
+    n = 40
+    edges = random_multigraph(n, 90, 13)
+    adj, st, vids = make_graph(spark, n, edges)
+    hop = adj.withColumn("weight", F.lit(1.0))
+    seeds = [0, 1, 2]
+    got = {r["id"]: r["harmonic"] for r in landmark_harmonic(spark, hop, seeds, num_blocks=4).collect()}
+
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from((u, v) for u, v, _ in edges if u != v)
+    want = {}
+    for s in seeds:
+        for v, d in nx.single_source_shortest_path_length(g, s).items():
+            if d > 0:
+                want[v] = want.get(v, 0.0) + 1.0 / d
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
+
+
+def test_degree_assortativity_matches_networkx(spark, tmp_path):
+    """The driver query's explicit Pearson-r arithmetic must equal
+    networkx.degree_assortativity_coefficient on the same word graph."""
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.driver_queries import q_degree_stats_words
+
+    row = q_degree_stats_words(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    pairs = con.execute(
+        """WITH trips AS (
+             SELECT DISTINCT doc_id, s, o FROM (
+               SELECT doc_id, l[i] AS s, l[i+1] AS o
+               FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+                    LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+             ) WHERE length(s) > 0 AND length(o) > 0 AND s <> o
+           ) SELECT DISTINCT least(s,o), greatest(s,o) FROM trips"""
+    ).fetchall()
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    want = nx.degree_assortativity_coefficient(g)
+    assert abs(row["assortativity"] - want) < 1e-5
+    assert row["n_vertices"] == g.number_of_nodes()
+    assert row["n_edges"] == g.number_of_edges()
+    assert row["max_degree"] == max(d for _, d in g.degree())
