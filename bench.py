@@ -279,6 +279,30 @@ def main() -> None:
     k_lin = bench("katz", run_katz)
     extras["katz_supersteps"] = len(k_lin)
 
+    from hipporag_spark.algo.mis import maximal_independent_set
+
+    def run_mis():
+        mis, m_lin = maximal_independent_set(
+            spark, adj, verts.select("id"), num_blocks=blocks
+        )
+        extras["mis_size"] = mis.count()
+        return m_lin
+
+    m_lin = bench("mis", run_mis)
+    extras["mis_rounds"] = len(m_lin)
+
+    from hipporag_spark.algo.betweenness import seeded_betweenness
+
+    def run_betweenness():
+        # 4 deterministic pivots — the Brandes–Pich sampled estimator
+        seeds = [r["id"] for r in verts.select("id").orderBy("id").limit(4).collect()]
+        bc, b_lin = seeded_betweenness(spark, adj, seeds, num_blocks=blocks)
+        extras["betweenness_rows"] = bc.count()
+        return b_lin
+
+    b_lin = bench("betweenness_4seed", run_betweenness)
+    extras["betweenness_bfs_supersteps"] = sum(l["bfs_supersteps"] for l in b_lin)
+
     from hipporag_spark.algo.walks import random_walks
 
     def run_walks():

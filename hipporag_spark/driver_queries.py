@@ -2118,6 +2118,104 @@ SELECT word, harmonic FROM (
     )
 
 
+def q_betweenness_words(spark, sf_dir):
+    """Seeded (sampled-Brandes) betweenness centrality
+    (``algo/betweenness``) from the 2 lexicographically smallest words —
+    the Brandes–Pich pivot estimator, the only betweenness that exists at
+    10^12 edges. Output id-free ``(word, betweenness)``, vertices with
+    positive accumulated dependency only."""
+    from .algo.betweenness import seeded_betweenness
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    seeds = [r["id"] for r in ids.orderBy("id").limit(2).collect()]
+    bc, _ = seeded_betweenness(spark, adjacency(e), seeds, num_blocks=8)
+    return (
+        bc.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", F.round("betweenness", 6).alias("betweenness"))
+        .orderBy("word")
+    )
+
+
+def _btw_forward_round(s: int, k: int) -> str:
+    p = f"b{s}f{k - 1}"
+    return f"""b{s}n{k} AS MATERIALIZED (
+  SELECT nb.b AS id, {k} AS dist, sum(f.sigma) AS sigma
+  FROM {p} f JOIN nbrs nb ON nb.a = f.id
+  WHERE f.dist = {k - 1} AND nb.b NOT IN (SELECT id FROM {p})
+  GROUP BY nb.b
+), b{s}f{k} AS MATERIALIZED (
+  SELECT * FROM {p} UNION ALL SELECT * FROM b{s}n{k}
+)"""
+
+
+def _btw_backward_round(s: int, L: int, R: int) -> str:
+    """δ for the layer at dist=L from the layer at dist=L+1 (empty above
+    the actual eccentricity, so coalesce(…, 0) seeds the deepest real
+    layer with 0 automatically)."""
+    succ = (
+        f"(SELECT f.id, f.sigma, d.delta FROM b{s}f{R} f "
+        f"JOIN b{s}d{L + 1} d USING (id) WHERE f.dist = {L + 1})"
+        if L + 1 < R
+        else f"(SELECT id, sigma, 0.0 AS delta FROM b{s}f{R} WHERE dist = {R})"
+    )
+    return f"""b{s}d{L} AS MATERIALIZED (
+  SELECT v.id, coalesce(sum(v.sigma / w.sigma * (1.0 + w.delta)), 0.0) AS delta
+  FROM (SELECT id, sigma FROM b{s}f{R} WHERE dist = {L}) v
+  LEFT JOIN nbrs nb ON nb.a = v.id
+  LEFT JOIN {succ} w ON w.id = nb.b
+  GROUP BY v.id
+)"""
+
+
+def _betweenness_words_sql(rounds: int = 10, n_seeds: int = 2) -> str:
+    """Per-seed unrolled Brandes: forward BFS with σ (integer shortest-
+    path counts), then dependency accumulation layer-by-layer, deepest
+    first — identical per-layer arithmetic to the engine. Convergence
+    sentinel per seed: a non-empty layer at dist=rounds means the unroll
+    truncated the BFS (the engine raises in that regime)."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), sv AS MATERIALIZED (
+  SELECT a AS id, row_number() OVER (ORDER BY a) AS rn
+  FROM (SELECT DISTINCT a FROM nbrs)
+)"""
+    ctes = [head]
+    for s in range(n_seeds):
+        ctes.append(
+            f"""b{s}f0 AS MATERIALIZED (
+  SELECT id, 0 AS dist, 1.0 AS sigma FROM sv WHERE rn = {s + 1}
+)"""
+        )
+        ctes.extend(_btw_forward_round(s, k) for k in range(1, rounds + 1))
+        ctes.extend(
+            _btw_backward_round(s, L, rounds) for L in range(rounds - 1, -1, -1)
+        )
+    contribs = " UNION ALL ".join(
+        f"SELECT id, delta FROM b{s}d{L} "
+        f"WHERE id <> (SELECT id FROM sv WHERE rn = {s + 1})"
+        for s in range(n_seeds)
+        for L in range(rounds)
+    )
+    sentinels = " OR ".join(
+        f"EXISTS (SELECT 1 FROM b{s}f{rounds} WHERE dist = {rounds})"
+        for s in range(n_seeds)
+    )
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word, betweenness FROM (
+  SELECT id AS word, round(sum(delta), 6) AS betweenness
+  FROM ({contribs}) GROUP BY id HAVING sum(delta) > 0
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, -1.0 AS betweenness
+  WHERE {sentinels}
+) ORDER BY word"""
+    )
+
+
 def q_degree_stats_words(spark, sf_dir):
     """Whole-graph degree statistics + degree assortativity (Newman
     Pearson r of endpoint degrees over the directed neighbor list) of the
@@ -2505,6 +2603,7 @@ def all_queries() -> dict:
         "pagerank_words": q_pagerank_words,
         "mis_words": q_mis_words,
         "harmonic_words": q_harmonic_words,
+        "betweenness_words": q_betweenness_words,
         "degree_stats_words": q_degree_stats_words,
         "ppr_push_words": q_ppr_push_words,
         "scc_words": q_scc_words,
@@ -2565,6 +2664,7 @@ def all_oracles() -> dict:
         "pagerank_words": _pagerank_words_sql(),
         "mis_words": _mis_words_sql(),
         "harmonic_words": _harmonic_words_sql(),
+        "betweenness_words": _betweenness_words_sql(),
         "degree_stats_words": SQL_DEGREE_STATS_WORDS,
         "ppr_push_words": _ppr_push_words_sql(),
         "scc_words": _scc_words_sql(),

@@ -40,7 +40,16 @@ from pyspark.sql import functions as F
 from ..nputil import make_spill_dir
 from .csr import block_of
 
-EDGES_PER_BLOCK = 250_000
+# the superstep's dominant data movement is the partial-rank shuffle:
+# bytes/superstep = P_src_blocks × nq × V × 8 — LINEAR in block count, so
+# bigger blocks directly cut the engine's bottleneck. Measured on the
+# E=8M V=500k Q=8 scaling workload at local[8]: 250k/block (P=32) 45.6s →
+# 500k (P=16) 33.3s → 1M (P=8) 24.7s — 1.85× from block size alone. The
+# ceiling is per-task memory (E/P×~16B edge arrays are mmapped, but the
+# nq × V/P × 8B rank slice is live per task) and parallelism (P must stay
+# ≥ the executor count to fill the cluster — at 10^12 edges P ≈ 10^6, so
+# the knob only matters in the small-graph regime where P ≈ cores).
+EDGES_PER_BLOCK = int(os.environ.get("SPARK_GRAFT_EDGES_PER_BLOCK", "1000000"))
 
 # spill-dir lifecycle (atexit removal + dead-owner orphan sweep) lives in
 # nputil.make_spill_dir

@@ -146,10 +146,25 @@ class Cluster:
         env.update(
             SCALE_CLUSTER_MODE="1",
             SCALE_WORKLOAD=workload,
+            # blocks≫cores regime pin — same rationale as scaling_bench's
+            # blocked_shuffle workload (the only regime at 10^12 edges)
+            SPARK_GRAFT_EDGES_PER_BLOCK=os.environ.get(
+                "SPARK_GRAFT_EDGES_PER_BLOCK", "250000"
+            ),
             OPENBLAS_NUM_THREADS="1",
             OMP_NUM_THREADS="1",
             MKL_NUM_THREADS="1",
-            SPARK_GRAFT_SCRATCH_DIR=f"file://{self.base}/scratch",
+            # shared-scratch root for packed-block spills: file:// through
+            # the Hadoop-FS path (the cluster story), but RAM-backed like
+            # SPARK_LOCAL_DIRS — every executor JVM on this box shares
+            # /dev/shm exactly as cluster nodes share their scratch FS,
+            # and the local[k] runs this pair is compared against spill to
+            # RAM too (disk-backed /tmp taxed every superstep's mmap ~1.5s
+            # that local mode never paid). CLUSTER_SCALE_SCRATCH overrides
+            # for A/B probes.
+            SPARK_GRAFT_SCRATCH_DIR=os.environ.get(
+                "CLUSTER_SCALE_SCRATCH", f"file://{self.local_dirs}/scratch"
+            ),
             **scale_env,
         )
         # every conf PINNED identically across the N / 4N pair — executor

@@ -223,6 +223,7 @@ def main() -> None:
             ranks, lin = personalized_pagerank_batch(
                 spark, edges, strength, verts, breset, n_vertices=V,
                 damping=0.5, max_iter=100 + trial, graph=bg, engine="csr",
+                check_every=int(os.environ.get("SCALE_CHECK_EVERY", "0")) or None,
             )
             ranks.count()
             walls.append(round(time.time() - t0, 2))
@@ -232,6 +233,10 @@ def main() -> None:
             assert lin[-1]["converged"]
         out["supersteps"] = len(lin)
         out["trial_steal_pct"] = steals
+        # last trial's per-superstep walls (chunked supersteps report the
+        # chunk wall split evenly) — the fixed-vs-parallel cost split
+        # between two executor counts lives here
+        out["superstep_walls_ms"] = [round(l["wall_ms"], 1) for l in lin]
     else:
         raise SystemExit(f"unknown SCALE_WORKLOAD {workload!r}")
 

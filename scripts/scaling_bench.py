@@ -57,6 +57,20 @@ WORKLOADS = {
     "blocked_shuffle": {
         "SCALE_WORKLOAD": "blocked", "SCALE_E": "8000000", "SCALE_V": "500000",
         "SCALE_Q": "8", "SCALE_TRIALS": "3",
+        # pin the blocks≫cores regime (P=32 over ≤32 cores): the scaling
+        # RATIO is only meaningful where stages wave-average, which is the
+        # only regime that exists at 10^12 edges (P ≈ 10^6 ≫ any cluster).
+        # With P ≈ cores the high side is gated by its single wave's max
+        # task — measured 0.63–0.70 at P=8 vs 0.804 at P=32 on identical
+        # input, while ABSOLUTE throughput moves the other way (1M-edge
+        # blocks are 1.85× faster; see blocked_shuffle_bigblocks).
+        "SPARK_GRAFT_EDGES_PER_BLOCK": "250000",
+    },
+    "blocked_shuffle_bigblocks": {
+        # the absolute-throughput operating point (default 1M-edge blocks,
+        # P=8): reported for the edges/sec record, not the ratio
+        "SCALE_WORKLOAD": "blocked", "SCALE_E": "8000000", "SCALE_V": "500000",
+        "SCALE_Q": "8", "SCALE_TRIALS": "2",
     },
 }
 
@@ -120,6 +134,7 @@ def main() -> None:
         "efficiency_broadcast_cache": wall_eff("broadcast_cache"),
         "efficiency_broadcast_dram": wall_eff("broadcast_dram"),
         "efficiency_blocked_shuffle": wall_eff("blocked_shuffle"),
+        "efficiency_blocked_bigblocks": wall_eff("blocked_shuffle_bigblocks"),
         "hw_efficiency_dram": hw_eff,
         "harness_efficiency_dram": harness_eff,
         "throughput_query_edges_per_sec": {

@@ -838,3 +838,77 @@ def test_degree_assortativity_matches_networkx(spark, tmp_path):
     assert row["n_vertices"] == g.number_of_nodes()
     assert row["n_edges"] == g.number_of_edges()
     assert row["max_degree"] == max(d for _, d in g.degree())
+
+
+def _brandes_from_sources(n, edge_list, sources):
+    """Pure-Python Brandes (unweighted) from a fixed source set — the
+    exact oracle for seeded_betweenness."""
+    from collections import deque
+
+    nbrs = {}
+    for u, v in edge_list:
+        if u != v:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+    bc = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in nbrs.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in nbrs.get(w, ()):
+                if dist.get(v, -2) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] = bc.get(w, 0.0) + delta[w]
+    return {v: x for v, x in bc.items() if x > 0}
+
+
+def test_seeded_betweenness_matches_brandes(spark):
+    from hipporag_spark.algo.betweenness import seeded_betweenness
+
+    n = 40
+    edges = random_multigraph(n, 80, 17)
+    adj, st, vids = make_graph(spark, n, edges)
+    seeds = [0, 5, 9]
+    bc, lineage = seeded_betweenness(spark, adj, seeds, num_blocks=4)
+    got = {r["id"]: r["betweenness"] for r in bc.collect()}
+    want = _brandes_from_sources(n, [(u, v) for u, v, _ in edges], seeds)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert lineage[-1]["converged"] and len(lineage) == len(seeds)
+
+
+def test_seeded_betweenness_path_graph_exact(spark):
+    """On a path 0-1-2-3-4 from seed 0, delta is the textbook cascade:
+    bc = (4, 3, 2, 1) interior-weighted — pins layering + accumulation."""
+    from hipporag_spark.algo.betweenness import seeded_betweenness
+
+    edges = [(i, i + 1, 1.0) for i in range(4)]
+    adj, st, vids = make_graph(spark, 5, edges)
+    bc, _ = seeded_betweenness(spark, adj, [0], num_blocks=2)
+    got = {r["id"]: r["betweenness"] for r in bc.collect()}
+    # delta(v) from seed 0 on a path: v=1 -> 3, v=2 -> 2, v=3 -> 1, v=4 -> 0
+    assert got == {1: 3.0, 2: 2.0, 3: 1.0}
+
+
+def test_seeded_betweenness_raises_on_truncated_bfs(spark):
+    from hipporag_spark.algo.betweenness import seeded_betweenness
+
+    edges = [(i, i + 1, 1.0) for i in range(6)]
+    adj, st, vids = make_graph(spark, 7, edges)
+    with pytest.raises(RuntimeError, match="max_depth"):
+        seeded_betweenness(spark, adj, [0], max_depth=3, num_blocks=2)
