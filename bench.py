@@ -303,6 +303,61 @@ def main() -> None:
     b_lin = bench("betweenness_4seed", run_betweenness)
     extras["betweenness_bfs_supersteps"] = sum(l["bfs_supersteps"] for l in b_lin)
 
+    from hipporag_spark.algo.truss import k_truss
+
+    def run_ktruss():
+        truss, t_lin = k_truss(spark, built["edges"], k=4, num_blocks=blocks)
+        extras["ktruss_edges"] = truss.count()
+        return t_lin
+
+    t_lin = bench("k_truss", run_ktruss)
+    extras["ktruss_peel_rounds"] = len(t_lin)
+
+    from hipporag_spark.algo.triangles import clustering_coefficient
+
+    extras["clustering_coeff_rows"] = bench(
+        "clustering_coefficient", lambda: clustering_coefficient(adj).count()
+    )
+
+    from hipporag_spark.algo.dag import longest_path_layers
+
+    def run_dag_layers():
+        # id-oriented DAG over the repo graph (acyclic by construction):
+        # the dependency-layering workload shape
+        dag = built["edges"].select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        layers, d_lin = longest_path_layers(spark, dag, num_blocks=blocks)
+        extras["dag_max_layer"] = layers.agg(F.max("layer")).collect()[0][0]
+        return d_lin
+
+    d_lin = bench("dag_layers", run_dag_layers)
+    extras["dag_supersteps"] = len(d_lin)
+
+    from hipporag_spark.algo.modularity import modularity as modularity_score
+
+    def run_modularity():
+        labels, _ = label_propagation(
+            spark, adj, verts.select("id"), max_iter=5, num_blocks=blocks
+        )
+        row = modularity_score(built["edges"].select("src", "dst"), labels).collect()[0]
+        extras["lp_modularity"] = round(row["modularity"], 6)
+        extras["lp_communities"] = row["n_communities"]
+
+    bench("modularity_lp", run_modularity)
+
+    from hipporag_spark.graph.build import bipartite_project
+
+    def run_bipartite():
+        # passage→entity membership projected to the entity co-mention
+        # graph, hub passages capped (the quadratic-fanout guard at scale)
+        bip = built["ex"].select(
+            F.col("chunk_id").alias("src"), F.explode("entities").alias("dst")
+        )
+        return bipartite_project(bip, min_weight=2, max_fanout=256).count()
+
+    extras["cooccurrence_pairs"] = bench("bipartite_project", run_bipartite)
+
     from hipporag_spark.algo.walks import random_walks
 
     def run_walks():

@@ -583,6 +583,317 @@ SELECT word, count(*) AS triangles FROM corners GROUP BY word ORDER BY word
 """
 
 
+def q_clustering_coeff_words(spark, sf_dir):
+    """Local clustering coefficient (``algo/triangles.
+    clustering_coefficient``, networkx.clustering semantics: 2T/(d(d−1)),
+    0 where d<2) for every vertex of the word graph."""
+    from .algo.triangles import clustering_coefficient
+    from .graph.build import adjacency
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    staged = t.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    cc = clustering_coefficient(adjacency(staged))
+    return cc.select(
+        F.col("id").alias("word"), "deg", F.round("coeff", 6).alias("coeff")
+    ).orderBy("word")
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT least(s, o) AS src, greatest(s, o) AS dst FROM trips
+), deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT src AS id FROM und UNION ALL SELECT dst AS id FROM und
+  ) GROUP BY id
+), oriented AS (
+  SELECT CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.src ELSE e.dst END AS u,
+         CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.dst ELSE e.src END AS v
+  FROM und e
+  JOIN deg ds ON ds.id = e.src
+  JOIN deg dd ON dd.id = e.dst
+), closed AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE (o.u = e1.v AND o.v = e2.v)
+                                            OR (o.u = e2.v AND o.v = e1.v))
+), corners AS (
+  SELECT a AS word FROM closed
+  UNION ALL SELECT b FROM closed
+  UNION ALL SELECT c FROM closed
+), tri AS (
+  SELECT word, count(*) AS t FROM corners GROUP BY word
+)
+SELECT d.id AS word, d.deg,
+       round(CASE WHEN d.deg < 2 THEN 0.0
+                  ELSE 2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1)) END, 6)
+         AS coeff
+FROM deg d LEFT JOIN tri t ON t.word = d.id
+ORDER BY word
+"""
+
+
+def q_ktruss_words(spark, sf_dir):
+    """4-truss of the word graph (``algo/truss.k_truss``: synchronous
+    support peeling — every surviving edge closes ≥ 2 triangles inside the
+    truss). Output is id-free sorted edge pairs with in-truss support. The
+    engine raises on non-fixpoint (scc.py lesson), and the harness pins
+    the oracle's unroll depth ≥ the engine's measured peel depth."""
+    from .algo.truss import k_truss
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    staged = t.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    truss, lineage = k_truss(spark, staged, k=4, num_blocks=8)
+    assert len(lineage) <= _KTRUSS_ORACLE_ROUNDS, (
+        f"k_truss peel depth {len(lineage)} exceeds the oracle unroll "
+        f"{_KTRUSS_ORACLE_ROUNDS}; raise _KTRUSS_ORACLE_ROUNDS"
+    )
+    return truss.select(
+        F.col("a").alias("word_a"), F.col("b").alias("word_b"), "support"
+    ).orderBy("word_a", "word_b")
+
+
+_KTRUSS_ORACLE_ROUNDS = 6
+
+
+def _ktruss_round(r: int, k: int) -> str:
+    """One peel round: triangles of the surviving graph enumerated at the
+    smallest vertex (sorted edges: wedge (x,p)+(x,q), p<q, closed by
+    (p,q)), credited to all three edges, keep support ≥ k−2 — exactly
+    truss.py's superstep (degree orientation there, min-vertex here:
+    identical result set)."""
+    p = f"e{r - 1}"
+    return f"""t{r} AS (
+  SELECT e1.a AS x, e1.b AS p, e2.b AS q
+  FROM {p} e1 JOIN {p} e2 ON e1.a = e2.a AND e1.b < e2.b
+  WHERE EXISTS (SELECT 1 FROM {p} e3 WHERE e3.a = e1.b AND e3.b = e2.b)
+), s{r} AS (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT x AS a, p AS b FROM t{r}
+    UNION ALL SELECT x AS a, q AS b FROM t{r}
+    UNION ALL SELECT p AS a, q AS b FROM t{r}
+  ) GROUP BY a, b
+), e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {p} e JOIN s{r} s ON s.a = e.a AND s.b = e.b
+  WHERE s.sup >= {k - 2}
+)"""
+
+
+def _ktruss_words_sql(k: int = 4, rounds: int = _KTRUSS_ORACLE_ROUNDS) -> str:
+    """Support peeling UNROLLED (kcore-oracle technique) + the harmonic
+    convergence sentinel: if the last two rounds still differ, a visible
+    mismatch row is emitted instead of silently-wrong ground truth."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM trips
+)"""
+    ctes = [head] + [_ktruss_round(r, k) for r in range(1, rounds + 1)]
+    fin = f"""fin AS (
+  SELECT e1.a AS x, e1.b AS p, e2.b AS q
+  FROM e{rounds} e1 JOIN e{rounds} e2 ON e1.a = e2.a AND e1.b < e2.b
+  WHERE EXISTS (SELECT 1 FROM e{rounds} e3 WHERE e3.a = e1.b AND e3.b = e2.b)
+), sfin AS (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT x AS a, p AS b FROM fin
+    UNION ALL SELECT x AS a, q AS b FROM fin
+    UNION ALL SELECT p AS a, q AS b FROM fin
+  ) GROUP BY a, b
+)"""
+    ctes.append(fin)
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word_a, word_b, support FROM (
+  SELECT e.a AS word_a, e.b AS word_b, coalesce(s.sup, 0) AS support
+  FROM e{rounds} e LEFT JOIN sfin s ON s.a = e.a AND s.b = e.b
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word_a, '' AS word_b, CAST(-1 AS BIGINT)
+  WHERE EXISTS (
+    SELECT 1 FROM e{rounds - 1} p ANTI JOIN e{rounds} c ON c.a = p.a AND c.b = p.b
+  )
+) ORDER BY word_a, word_b"""
+    )
+
+
+def q_entity_cooccurrence(spark, sf_dir):
+    """Bipartite projection of the passage→entity membership onto entities
+    (``graph/build.bipartite_project``): word pairs sharing ≥ 2 passages,
+    weight = shared-passage count — the co-mention graph HippoRAG's
+    synonymy layer approximates semantically."""
+    from .graph.build import bipartite_project
+
+    docs = load(spark, sf_dir, "documents")
+    ex = doc_extraction(docs)
+    bip = ex.select(
+        F.col("chunk_id").alias("src"), F.explode("entities").alias("dst")
+    )
+    proj = bipartite_project(bip, min_weight=2)
+    return proj.select(
+        F.col("a").alias("word_a"), F.col("b").alias("word_b"), "weight"
+    ).orderBy("word_a", "word_b")
+
+
+SQL_ENTITY_COOCCURRENCE = """
+WITH ents AS (
+  SELECT DISTINCT md5(text) AS g, w
+  FROM (SELECT text, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) > 3
+), pairs AS (
+  SELECT e1.w AS a, e2.w AS b
+  FROM ents e1 JOIN ents e2 ON e1.g = e2.g AND e1.w < e2.w
+)
+SELECT a AS word_a, b AS word_b, count(*) AS weight
+FROM pairs GROUP BY a, b HAVING count(*) >= 2
+ORDER BY word_a, word_b
+"""
+
+
+def q_modularity_words(spark, sf_dir):
+    """Newman modularity (``algo/modularity``) of the 10-round label-
+    propagation partition of the word graph — the engine scoring its own
+    community output. 1-row (m, n_communities, modularity)."""
+    from .algo.labelprop import label_propagation
+    from .algo.modularity import modularity
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    labels, _ = label_propagation(
+        spark, adjacency(e), ids.select("id"), max_iter=10, num_blocks=8
+    )
+    out = modularity(e.select("src", "dst"), labels)
+    return out.select(
+        "m", "n_communities", F.round("modularity", 6).alias("modularity")
+    )
+
+
+def _modularity_words_sql(rounds: int = 10) -> str:
+    """Q over the l{rounds} LPA labels (same unrolled CTEs as the
+    label_propagation_words oracle, so label parity is already proven by
+    that query; this one checks the scoring arithmetic)."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, adjw AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT s AS src, o AS dst FROM trips
+    UNION ALL SELECT o AS src, s AS dst FROM trips
+  ) GROUP BY src, dst
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, src AS lab FROM adjw
+)"""
+    ctes = [head] + [_lp_words_round(kk) for kk in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f""", und AS (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM trips
+  WHERE s <> o
+), tagged AS (
+  SELECT la.lab AS la, lb.lab AS lb
+  FROM und e JOIN l{rounds} la ON la.id = e.a JOIN l{rounds} lb ON lb.id = e.b
+), per_c AS (
+  SELECT label, count(*) AS d_c,
+         coalesce(sum(CASE WHEN intra THEN 1 ELSE 0 END), 0) AS m2_c
+  FROM (
+    SELECT la AS label, la = lb AS intra FROM tagged
+    UNION ALL SELECT lb AS label, la = lb AS intra FROM tagged
+  ) GROUP BY label
+), m AS (SELECT count(*) AS m FROM und)
+SELECT m.m, count(*) AS n_communities,
+       round(sum(p.m2_c / 2.0 / m.m - pow(p.d_c / (2.0 * m.m), 2)), 6)
+         AS modularity
+FROM per_c p, m GROUP BY m.m"""
+    )
+
+
+def q_dag_layers_words(spark, sf_dir):
+    """Topological layering / longest-path depth (``algo/dag.
+    longest_path_layers``) of the word graph oriented lexicographically
+    (a → b iff a < b — acyclic by construction, so the engine's cycle
+    detector must NOT fire). Output (word, layer)."""
+    from .algo.dag import longest_path_layers
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    dag = t.select(
+        F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    layers, lineage = longest_path_layers(spark, dag, num_blocks=8)
+    assert len(lineage) <= _DAG_ORACLE_ROUNDS, (
+        f"longest_path_layers depth {len(lineage)} exceeds the oracle "
+        f"unroll {_DAG_ORACLE_ROUNDS}; raise _DAG_ORACLE_ROUNDS"
+    )
+    return layers.select(F.col("id").alias("word"), "layer").orderBy("word")
+
+
+_DAG_ORACLE_ROUNDS = 40
+
+
+def _dag_round(r: int) -> str:
+    p = f"d{r - 1}"
+    return f"""d{r} AS MATERIALIZED (
+  SELECT v.id, greatest(v.layer, coalesce(c.cand, 0)) AS layer
+  FROM {p} v LEFT JOIN (
+    SELECT e.b AS id, max(d.layer) + 1 AS cand
+    FROM e JOIN {p} d ON d.id = e.a GROUP BY e.b
+  ) c ON c.id = v.id
+)"""
+
+
+def _dag_layers_words_sql(rounds: int = _DAG_ORACLE_ROUNDS) -> str:
+    """Max-plus relaxation UNROLLED with the convergence sentinel: rounds
+    past the longest path are no-ops, and a d{R} ≠ d{R-1} residue emits a
+    visible mismatch row."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, e AS MATERIALIZED (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM trips
+  WHERE s <> o
+), d0 AS MATERIALIZED (
+  SELECT id, CAST(0 AS BIGINT) AS layer FROM (
+    SELECT DISTINCT a AS id FROM e UNION SELECT DISTINCT b AS id FROM e
+  )
+)"""
+    ctes = [head] + [_dag_round(r) for r in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word, layer FROM (
+  SELECT id AS word, layer FROM d{rounds}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, CAST(-1 AS BIGINT) AS layer
+  WHERE EXISTS (
+    SELECT 1 FROM d{rounds} a JOIN d{rounds - 1} b ON b.id = a.id
+    WHERE a.layer <> b.layer
+  )
+) ORDER BY word"""
+    )
+
+
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic quality-weighted document sampling
+    (``ops/sampling.weighted_sample``): keep probability ∝ word count at
+    overall rate 0.5, decided by the doc_id's md5 bucket — a pure
+    projection any engine replays exactly (integral weights keep the mean
+    bit-reproducible)."""
+    from .ops.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.withColumn("wt", F.size(F.split(F.col("text"), " ")))
+    kept = weighted_sample(w, "doc_id", "wt", rate=0.5)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS wt FROM documents
+), m AS (
+  SELECT CAST(sum(wt) AS DOUBLE) / count(*) AS w_mean FROM w
+)
+SELECT doc_id FROM w, m
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      < floor(least(1.0, 0.5 * wt / w_mean) * 10000)
+ORDER BY doc_id
+"""
+
+
 def q_recall_at_k(spark, sf_dir):
     """Recall@k (SURVEY §2.5) over a deterministic retrieval: brute-force
     top-10 ANN per query with gold = {qid+1, qid+2, qid+50}."""
@@ -2609,6 +2920,12 @@ def all_queries() -> dict:
         "scc_words": q_scc_words,
         "triangle_count_words": q_triangles_words,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "clustering_coeff_words": q_clustering_coeff_words,
+        "ktruss_words": q_ktruss_words,
+        "entity_cooccurrence": q_entity_cooccurrence,
+        "modularity_words": q_modularity_words,
+        "dag_layers_words": q_dag_layers_words,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "ppr_docs": q_ppr_docs,
         "recall_at_k": q_recall_at_k,
         "qa_eval": q_qa_eval,
@@ -2670,6 +2987,12 @@ def all_oracles() -> dict:
         "scc_words": _scc_words_sql(),
         "triangle_count_words": SQL_TRIANGLES_WORDS,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+        "clustering_coeff_words": SQL_CLUSTERING_COEFF,
+        "ktruss_words": _ktruss_words_sql(),
+        "entity_cooccurrence": SQL_ENTITY_COOCCURRENCE,
+        "modularity_words": _modularity_words_sql(),
+        "dag_layers_words": _dag_layers_words_sql(),
+        "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "ppr_docs": _ppr_docs_sql(),
         "recall_at_k": _recall_sql(),
         "qa_eval": SQL_QA_EVAL,

@@ -65,6 +65,36 @@ def passage_edges(extraction: DataFrame) -> DataFrame:
     ).withColumn("etype", F.lit("passage"))
 
 
+def bipartite_project(
+    bipartite: DataFrame, min_weight: int = 1, max_fanout: int | None = None
+) -> DataFrame:
+    """Project a bipartite membership table ``(src=group, dst=member)``
+    onto the member side: ``(a, b, weight)`` with a < b and weight =
+    number of shared groups, keeping pairs with weight ≥ ``min_weight``
+    (e.g. passage→entity edges → the entity co-mention graph, the classic
+    densification HippoRAG's synonymy layer approximates semantically).
+
+    Scale: the self-join is keyed on the group id, so its fan-out is
+    quadratic in per-group membership — the one real hazard. At 100 TB,
+    pass ``max_fanout`` to drop hub groups (a doc listing 10⁴ entities
+    contributes 10⁸ pairs and no signal); the cutoff is a deterministic
+    per-group count filter, so the result is reproducible. The pair agg
+    is map-side-combinable and AQE splits residual skew."""
+    m = bipartite.select(F.col("src").alias("g"), F.col("dst").alias("v")).distinct()
+    if max_fanout is not None:
+        sz = m.groupBy("g").agg(F.count("*").alias("fanout"))
+        m = m.join(
+            sz.filter(F.col("fanout") <= max_fanout).select("g"), "g", "left_semi"
+        )
+    left = m.select("g", F.col("v").alias("a"))
+    right = m.select("g", F.col("v").alias("b"))
+    pairs = left.join(right, "g").filter(F.col("a") < F.col("b"))
+    out = pairs.groupBy("a", "b").agg(F.count("*").alias("weight"))
+    if min_weight > 1:
+        out = out.filter(F.col("weight") >= min_weight)
+    return out
+
+
 def vertices(extraction: DataFrame, edges: DataFrame | None = None) -> DataFrame:
     """Vertex table ``(id: long, name: string, ntype, content)``.
 

@@ -58,6 +58,43 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Importance sampling by a per-row weight (the standard
+    quality-weighted data selection step: keep high-quality documents at
+    a higher rate), deterministically.
+
+    Keep probability per row = ``min(1, rate · w / mean(w))`` — so the
+    EXPECTED kept fraction is ≈ ``rate`` while rows are kept in
+    proportion to weight — decided by the row key's hash bucket, so the
+    decision is reproducible on any engine (the DuckDB oracle replays
+    it). One map-side-combinable global agg for the mean (broadcast as a
+    literal-sized 1-row side), then a pure projection/filter — no
+    shuffle of the data itself, embarrassingly parallel at any scale.
+
+    Bit-reproducibility note: the mean is computed as exact integer-sum ÷
+    count when the weight column is integral (use integral weights when an
+    external oracle must replay the cut — a float sum's value depends on
+    reduction order)."""
+    mean = df.agg(
+        (F.sum(F.col(weight_col)).cast("double") / F.count(F.lit(1))).alias("w_mean")
+    )
+    b = hash_bucket(F.col(key_col), salt)
+    p = F.least(
+        F.lit(1.0), F.lit(rate) * F.col(weight_col).cast("double") / F.col("w_mean")
+    )
+    return (
+        df.crossJoin(F.broadcast(mean))
+        .filter(b < F.floor(p * _BUCKETS))
+        .drop("w_mean")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: Mapping[str, float], salt: str = ""
 ) -> DataFrame:

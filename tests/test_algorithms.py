@@ -912,3 +912,145 @@ def test_seeded_betweenness_raises_on_truncated_bfs(spark):
     adj, st, vids = make_graph(spark, 7, edges)
     with pytest.raises(RuntimeError, match="max_depth"):
         seeded_betweenness(spark, adj, [0], max_depth=3, num_blocks=2)
+
+
+def test_ktruss_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.truss import k_truss
+
+    n = 30
+    edges = random_multigraph(n, 140, 31)
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    G = nx.Graph()
+    for u, v, _ in edges:
+        if u != v:
+            G.add_edge(u, v)
+    for k in (3, 4, 5):
+        truss, lineage = k_truss(spark, e, k=k, num_blocks=4)
+        got = {(r["a"], r["b"]): r["support"] for r in truss.collect()}
+        want = nx.k_truss(G, k)
+        want_edges = {(min(u, v), max(u, v)) for u, v in want.edges}
+        assert set(got) == want_edges
+        # in-truss support: common neighbors within the truss
+        for (a, b), sup in got.items():
+            cn = len(set(want.neighbors(a)) & set(want.neighbors(b)))
+            assert sup == cn
+        assert lineage[-1]["converged"]
+
+
+def test_ktruss_peels_bridge_between_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: the bridge closes no
+    triangle, so the 4-truss is exactly the two cliques (support 2 on
+    every surviving edge) — pins multi-round peeling semantics."""
+    from hipporag_spark.algo.truss import k_truss
+
+    k4a = [(u, v, 1.0) for u in range(4) for v in range(u + 1, 4)]
+    k4b = [(u + 10, v + 10, 1.0) for u in range(4) for v in range(u + 1, 4)]
+    bridge = [(3, 10, 1.0)]
+    e = spark.createDataFrame(k4a + k4b + bridge, "src long, dst long, weight double")
+    truss, _ = k_truss(spark, e, k=4, num_blocks=2)
+    rows = truss.collect()
+    assert len(rows) == 12 and all(r["support"] == 2 for r in rows)
+    assert (3, 10) not in {(r["a"], r["b"]) for r in rows}
+
+
+def test_ktruss_raises_on_iteration_exhaustion(spark):
+    from hipporag_spark.algo.truss import k_truss
+
+    # long peel cascade: a triangle strip (ladder of triangles) peels one
+    # rung at a time under k=4
+    strip = []
+    for i in range(8):
+        strip += [(i, i + 1, 1.0), (i, i + 2, 1.0)]
+    e = spark.createDataFrame(strip, "src long, dst long, weight double")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        k_truss(spark, e, k=4, max_iter=2, num_blocks=2)
+
+
+def test_clustering_coefficient_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.triangles import clustering_coefficient
+
+    n = 30
+    edges = random_multigraph(n, 120, 37)
+    adj, st, vids = make_graph(spark, n, edges)
+    G = nx.Graph()
+    for u, v, _ in edges:
+        if u != v:
+            G.add_edge(u, v)
+    got = {r["id"]: (r["deg"], r["coeff"]) for r in clustering_coefficient(adj).collect()}
+    want = nx.clustering(G)
+    assert set(got) == set(G.nodes)
+    for node in G.nodes:
+        assert got[node][0] == G.degree(node)
+        assert abs(got[node][1] - want[node]) < 1e-12
+
+
+def test_dag_layers_longest_path(spark):
+    from hipporag_spark.algo.dag import longest_path_layers
+
+    # diamond + tail: 0->1, 0->2, 1->3, 2->3, 3->4
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    layers, lineage = longest_path_layers(spark, e, num_blocks=2)
+    got = {r["id"]: r["layer"] for r in layers.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    assert lineage[-1]["converged"]
+
+
+def test_dag_layers_matches_reference_random_dag(spark):
+    from hipporag_spark.algo.dag import longest_path_layers
+
+    rng = np.random.default_rng(43)
+    n = 40
+    pairs = set()
+    while len(pairs) < 120:
+        u, v = rng.integers(0, n, 2)
+        if u < v:
+            pairs.add((int(u), int(v)))
+    e = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    layers, _ = longest_path_layers(spark, e, num_blocks=4)
+    got = {r["id"]: r["layer"] for r in layers.collect()}
+    # reference: dp in topological (numeric) order
+    want = {}
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    for x in nodes:
+        want[x] = 0
+    for u, v in sorted(pairs):
+        want[v] = max(want[v], want[u] + 1)
+    assert got == want
+
+
+def test_dag_layers_raises_on_cycle(spark):
+    from hipporag_spark.algo.dag import longest_path_layers
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        longest_path_layers(spark, e, max_iter=10, num_blocks=2)
+
+
+def test_modularity_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.modularity import modularity
+
+    n = 30
+    edges = random_multigraph(n, 120, 41)
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    G = nx.Graph()
+    for u, v, _ in edges:
+        if u != v:
+            G.add_edge(u, v)
+    # partition: id mod 3
+    labels = spark.createDataFrame(
+        [(i, i % 3) for i in range(n)], "id long, label long"
+    )
+    out = modularity(e.select("src", "dst"), labels).collect()[0]
+    comms = [
+        {x for x in G.nodes if x % 3 == c}
+        for c in range(3)
+        if any(x % 3 == c for x in G.nodes)
+    ]
+    want = nx.community.modularity(G, comms)
+    assert abs(out["modularity"] - want) < 1e-9
+    assert out["m"] == G.number_of_edges()

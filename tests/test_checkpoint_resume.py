@@ -349,3 +349,59 @@ def test_katz_kill_and_resume(spark, tmp_path):
     assert lin2[-1]["superstep"] == 7
     for i in range(n):
         assert abs(got[i] - want[i]) < 1e-12
+
+
+def test_ktruss_kill_and_resume(spark, tmp_path):
+    """Truss peeling checkpoints every round; iteration exhaustion RAISES
+    (never a silent partial truss) but leaves the superstep checkpoints
+    behind, so a resumed run finishes from where the cascade stopped."""
+    from hipporag_spark.algo.truss import k_truss
+
+    # triangle strip: peels one rung per round under k=4
+    strip = []
+    for i in range(8):
+        strip += [(i, i + 1, 1.0), (i, i + 2, 1.0)]
+    e = spark.createDataFrame(strip, "src long, dst long, weight double")
+    ckdir = str(tmp_path / "ckt")
+
+    full, full_lin = k_truss(spark, e, k=4, num_blocks=2)
+    want = {(r["a"], r["b"], r["support"]) for r in full.collect()}
+    assert len(full_lin) > 2
+
+    with pytest.raises(RuntimeError, match="max_iter"):
+        k_truss(
+            spark, e, k=4, num_blocks=2, checkpoint_dir=ckdir,
+            run_id="kt1", max_iter=2,
+        )
+    part2, lin2 = k_truss(
+        spark, e, k=4, num_blocks=2, checkpoint_dir=ckdir, run_id="kt1"
+    )
+    got = {(r["a"], r["b"], r["support"]) for r in part2.collect()}
+    assert got == want
+    assert lin2[-1]["superstep"] == len(full_lin) - 1
+
+
+def test_dag_layers_kill_and_resume(spark, tmp_path):
+    """Longest-path relaxation resumes with the true frontier (persisted
+    `grew` flag); the path DAG guarantees one layer per round so
+    max_iter=3 stops genuinely mid-run (and raises, by the cycle-verdict
+    contract)."""
+    from hipporag_spark.algo.dag import longest_path_layers
+
+    n = 9
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    ckdir = str(tmp_path / "ckd")
+
+    full, full_lin = longest_path_layers(spark, e, num_blocks=2)
+    want = {(r["id"], r["layer"]) for r in full.collect()}
+
+    with pytest.raises(RuntimeError, match="converge"):
+        longest_path_layers(
+            spark, e, num_blocks=2, checkpoint_dir=ckdir, run_id="dg1", max_iter=3
+        )
+    part2, lin2 = longest_path_layers(
+        spark, e, num_blocks=2, checkpoint_dir=ckdir, run_id="dg1"
+    )
+    got = {(r["id"], r["layer"]) for r in part2.collect()}
+    assert got == want
+    assert lin2[-1]["superstep"] == len(full_lin) - 1

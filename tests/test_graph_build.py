@@ -132,3 +132,32 @@ def test_route_labels_bijection_onto_partitions(spark):
     import hipporag_spark.graph.blocked as blocked_mod
 
     assert route_labels(spark, blocked_mod._ROUTE_MAX_BLOCKS + 1) is None
+
+
+def test_bipartite_project_counts_shared_groups(spark):
+    from hipporag_spark.graph.build import bipartite_project
+
+    rows = [
+        ("g1", "a"), ("g1", "b"), ("g1", "c"),
+        ("g2", "a"), ("g2", "b"),
+        ("g3", "a"), ("g3", "b"),
+        ("g3", "a"),  # duplicate membership must not double-count
+    ]
+    bip = spark.createDataFrame(rows, "src string, dst string")
+    out = {(r["a"], r["b"]): r["weight"]
+           for r in bipartite_project(bip, min_weight=1).collect()}
+    assert out == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    out2 = {(r["a"], r["b"]): r["weight"]
+            for r in bipartite_project(bip, min_weight=2).collect()}
+    assert out2 == {("a", "b"): 3}
+
+
+def test_bipartite_project_max_fanout_drops_hub_groups(spark):
+    from hipporag_spark.graph.build import bipartite_project
+
+    hub = [("big", f"m{i}") for i in range(10)]
+    small = [("s", "x"), ("s", "y")]
+    bip = spark.createDataFrame(hub + small, "src string, dst string")
+    out = {(r["a"], r["b"]): r["weight"]
+           for r in bipartite_project(bip, max_fanout=5).collect()}
+    assert out == {("x", "y"): 1}

@@ -65,3 +65,35 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_chars=10, overlap=10)
+
+
+def test_weighted_sample_rate_and_determinism(spark):
+    from hipporag_spark.ops.sampling import weighted_sample
+
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("long").alias("w")
+    )
+    kept = weighted_sample(df, "id", "w", rate=0.5)
+    ids = sorted(r["id"] for r in kept.collect())
+    # deterministic: identical on a second run
+    assert ids == sorted(r["id"] for r in weighted_sample(df, "id", "w", 0.5).collect())
+    # realized rate near 0.5 at 1/10000 bucket granularity
+    assert 0.45 < len(ids) / 4000 < 0.55
+    # keep rate grows with weight
+    by_w = (
+        weighted_sample(df, "id", "w", 0.5)
+        .groupBy("w").count().orderBy("w").collect()
+    )
+    rates = {r["w"]: r["count"] / (4000 / 7) for r in by_w}
+    assert rates[7] > rates[1]
+
+
+def test_weighted_sample_caps_probability_at_one(spark):
+    from hipporag_spark.ops.sampling import weighted_sample
+
+    # one huge weight: p would exceed 1 without the cap; every heavy row kept
+    df = spark.range(100).select(
+        F.col("id"), F.when(F.col("id") < 5, 1000).otherwise(1).cast("long").alias("w")
+    )
+    kept = {r["id"] for r in weighted_sample(df, "id", "w", 0.5).collect()}
+    assert set(range(5)) <= kept
