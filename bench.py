@@ -346,6 +346,25 @@ def main() -> None:
 
     bench("modularity_lp", run_modularity)
 
+    from hipporag_spark.algo.coreness import coreness as coreness_algo
+
+    def run_coreness():
+        core, c_lin = coreness_algo(spark, adj, verts.select("id"), num_blocks=blocks)
+        extras["coreness_max"] = core.agg(F.max("coreness")).collect()[0][0]
+        return c_lin
+
+    c_lin = bench("coreness", run_coreness)
+    extras["coreness_rounds"] = len(c_lin)
+
+    from hipporag_spark.algo.neighborhood import two_hop_sizes
+
+    def run_two_hop():
+        # hub-middle cap: the Σdeg² wedge fanout guard (exact counts for
+        # all pairs not routed through a >256-degree middle)
+        return two_hop_sizes(adj, max_mid_degree=256).count()
+
+    extras["two_hop_rows"] = bench("two_hop_sizes", run_two_hop)
+
     from hipporag_spark.graph.build import bipartite_project
 
     def run_bipartite():

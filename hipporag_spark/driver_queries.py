@@ -867,6 +867,109 @@ SELECT word, layer FROM (
     )
 
 
+def q_coreness_words(spark, sf_dir):
+    """Full core-number decomposition (``algo/coreness``: h-index
+    iteration from degrees — Lü et al. 2016 convergence) of the word
+    graph. Output (word, coreness) for every vertex."""
+    from .algo.coreness import coreness
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    core, lineage = coreness(spark, adjacency(e), ids.select("id"), num_blocks=8)
+    assert len(lineage) <= _CORENESS_ORACLE_ROUNDS, (
+        f"coreness depth {len(lineage)} exceeds the oracle unroll "
+        f"{_CORENESS_ORACLE_ROUNDS}; raise _CORENESS_ORACLE_ROUNDS"
+    )
+    return (
+        core.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", "coreness")
+        .orderBy("word")
+    )
+
+
+_CORENESS_ORACLE_ROUNDS = 8
+
+
+def _coreness_round(r: int) -> str:
+    """One h-operator round: per-vertex h-index of neighbor values
+    (max(min(rank, value)) over values desc), capped by the old value —
+    exactly coreness.py's superstep."""
+    p = f"c{r - 1}"
+    return f"""h{r} AS (
+  SELECT src AS id, max(least(rn, val)) AS h FROM (
+    SELECT e.a AS src, c.val AS val,
+           row_number() OVER (PARTITION BY e.a ORDER BY c.val DESC) AS rn
+    FROM nbrs e JOIN {p} c ON c.id = e.b
+  ) GROUP BY src
+), c{r} AS MATERIALIZED (
+  SELECT c.id, least(c.val, coalesce(h.h, 0)) AS val
+  FROM {p} c LEFT JOIN h{r} h ON h.id = c.id
+)"""
+
+
+def _coreness_words_sql(rounds: int = _CORENESS_ORACLE_ROUNDS) -> str:
+    """h-operator rounds UNROLLED from degrees, with the convergence
+    sentinel (monotone integer updates: rounds past fixpoint are no-ops,
+    and a c{R} ≠ c{R-1} residue emits a visible mismatch row)."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), c0 AS MATERIALIZED (
+  SELECT a AS id, count(*) AS val FROM nbrs GROUP BY a
+)"""
+    ctes = [head] + [_coreness_round(r) for r in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word, coreness FROM (
+  SELECT id AS word, val AS coreness FROM c{rounds}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, CAST(-1 AS BIGINT) AS coreness
+  WHERE EXISTS (
+    SELECT 1 FROM c{rounds} a JOIN c{rounds - 1} b ON b.id = a.id
+    WHERE a.val <> b.val
+  )
+) ORDER BY word"""
+    )
+
+
+def q_two_hop_words(spark, sf_dir):
+    """Exact 1-/2-hop neighborhood sizes (``algo/neighborhood.
+    two_hop_sizes``, friend-of-friend reach) on the word graph. Output
+    (word, n1, n2)."""
+    from .algo.neighborhood import two_hop_sizes
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    sizes = two_hop_sizes(
+        t.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return sizes.select(F.col("id").alias("word"), "n1", "n2").orderBy("word")
+
+
+SQL_TWO_HOP_WORDS = f"""
+WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), two AS (
+  SELECT n1.a AS v, n2.b AS w
+  FROM nbrs n1 JOIN nbrs n2 ON n2.a = n1.b
+  WHERE n1.a <> n2.b
+), reach AS (
+  SELECT a AS v, b AS w FROM nbrs UNION ALL SELECT v, w FROM two
+), n1c AS (
+  SELECT a AS id, count(*) AS n1 FROM nbrs GROUP BY a
+), n2c AS (
+  SELECT v AS id, count(DISTINCT w) AS n2 FROM reach GROUP BY v
+)
+SELECT n1c.id AS word, n1c.n1, n2c.n2
+FROM n1c JOIN n2c ON n2c.id = n1c.id
+ORDER BY word
+"""
+
+
 def q_weighted_sample_docs(spark, sf_dir):
     """Deterministic quality-weighted document sampling
     (``ops/sampling.weighted_sample``): keep probability ∝ word count at
@@ -2925,6 +3028,8 @@ def all_queries() -> dict:
         "entity_cooccurrence": q_entity_cooccurrence,
         "modularity_words": q_modularity_words,
         "dag_layers_words": q_dag_layers_words,
+        "coreness_words": q_coreness_words,
+        "two_hop_words": q_two_hop_words,
         "weighted_sample_docs": q_weighted_sample_docs,
         "ppr_docs": q_ppr_docs,
         "recall_at_k": q_recall_at_k,
@@ -2992,6 +3097,8 @@ def all_oracles() -> dict:
         "entity_cooccurrence": SQL_ENTITY_COOCCURRENCE,
         "modularity_words": _modularity_words_sql(),
         "dag_layers_words": _dag_layers_words_sql(),
+        "coreness_words": _coreness_words_sql(),
+        "two_hop_words": SQL_TWO_HOP_WORDS,
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "ppr_docs": _ppr_docs_sql(),
         "recall_at_k": _recall_sql(),

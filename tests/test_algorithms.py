@@ -1054,3 +1054,71 @@ def test_modularity_matches_networkx(spark):
     want = nx.community.modularity(G, comms)
     assert abs(out["modularity"] - want) < 1e-9
     assert out["m"] == G.number_of_edges()
+
+
+def test_coreness_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.coreness import coreness
+
+    n = 40
+    edges = random_multigraph(n, 160, 47)
+    adj, st, vids = make_graph(spark, n, edges)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    for u, v, _ in edges:
+        if u != v:
+            G.add_edge(u, v)
+    core, lineage = coreness(spark, adj, vids, num_blocks=4)
+    got = {r["id"]: r["coreness"] for r in core.collect()}
+    assert got == nx.core_number(G)
+    assert lineage[-1]["converged"]
+
+
+def test_coreness_path_plus_clique(spark):
+    """K5 with a pendant path: clique vertices have coreness 4, the path
+    coreness 1 — and the h-operator needs >1 round to pull the path
+    attachment point down (pins multi-round convergence)."""
+    from hipporag_spark.algo.coreness import coreness
+
+    k5 = [(u, v, 1.0) for u in range(5) for v in range(u + 1, 5)]
+    path = [(4, 5, 1.0), (5, 6, 1.0), (6, 7, 1.0)]
+    adj, st, vids = make_graph(spark, 8, k5 + path)
+    core, lineage = coreness(spark, adj, vids, num_blocks=2)
+    got = {r["id"]: r["coreness"] for r in core.collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 1, 6: 1, 7: 1}
+
+
+def test_two_hop_sizes_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.neighborhood import two_hop_sizes
+
+    n = 35
+    edges = random_multigraph(n, 120, 53)
+    adj, st, vids = make_graph(spark, n, edges)
+    G = nx.Graph()
+    for u, v, _ in edges:
+        if u != v:
+            G.add_edge(u, v)
+    got = {r["id"]: (r["n1"], r["n2"]) for r in two_hop_sizes(adj).collect()}
+    for v in G.nodes:
+        ball = nx.single_source_shortest_path_length(G, v, cutoff=2)
+        want = (G.degree(v), len(ball) - 1)
+        assert got[v] == want, (v, got[v], want)
+
+
+def test_two_hop_mid_degree_cap_is_lower_bound(spark):
+    """Star + triangle: capping out the hub middle removes exactly the
+    leaf-to-leaf pairs that route through it, nothing else."""
+    from hipporag_spark.algo.neighborhood import two_hop_sizes
+
+    star = [(0, i, 1.0) for i in range(1, 6)]
+    tri = [(1, 2, 1.0)]
+    adj, st, vids = make_graph(spark, 6, star + tri)
+    full = {r["id"]: r["n2"] for r in two_hop_sizes(adj).collect()}
+    capped = {r["id"]: r["n2"] for r in two_hop_sizes(adj, max_mid_degree=3).collect()}
+    # leaf 3 reaches all 5 others through the hub; with the hub (deg 5)
+    # capped as middle it keeps only its direct neighbor
+    assert full[3] == 5 and capped[3] == 1
+    # vertex 1's two-hop through the (uncapped) triangle edge survives
+    assert capped[1] >= 2
+    assert all(capped[v] <= full[v] for v in full)

@@ -405,3 +405,33 @@ def test_dag_layers_kill_and_resume(spark, tmp_path):
     got = {(r["id"], r["layer"]) for r in part2.collect()}
     assert got == want
     assert lin2[-1]["superstep"] == len(full_lin) - 1
+
+
+def test_coreness_kill_and_resume(spark, tmp_path):
+    """h-operator resumes from the persisted value table; K5-plus-path
+    needs >2 rounds so max_iter=1 stops genuinely mid-run (raising, by
+    the non-fixpoint contract)."""
+    from hipporag_spark.algo.coreness import coreness
+
+    k5 = [(u, v, 1.0) for u in range(5) for v in range(u + 1, 5)]
+    path = [(4, 5, 1.0), (5, 6, 1.0), (6, 7, 1.0)]
+    e = spark.createDataFrame(k5 + path, "src long, dst long, weight double")
+    adj = adjacency(e).persist()
+    vids = spark.range(8).select(F.col("id"))
+    ckdir = str(tmp_path / "ckcore")
+
+    full, full_lin = coreness(spark, adj, vids, num_blocks=2)
+    want = {(r["id"], r["coreness"]) for r in full.collect()}
+    assert len(full_lin) > 1
+
+    with pytest.raises(RuntimeError, match="max_iter"):
+        coreness(
+            spark, adj, vids, num_blocks=2, checkpoint_dir=ckdir,
+            run_id="cn1", max_iter=1,
+        )
+    part2, lin2 = coreness(
+        spark, adj, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="cn1"
+    )
+    got = {(r["id"], r["coreness"]) for r in part2.collect()}
+    assert got == want
+    assert lin2[-1]["superstep"] == len(full_lin) - 1
