@@ -2289,20 +2289,26 @@ def q_random_walks_words(spark, sf_dir):
 
 def _walks_round(k: int) -> str:
     return f"""w{k} AS MATERIALIZED (
-  SELECT walk_id, seed, {k} AS step,
-         arg_min(e.dst, md5(walk_id || ':' || '{k}' || ':' || e.dst) || ':' || e.dst) AS vertex
-  FROM w{k - 1} c JOIN ed e ON e.src = c.vertex
-  GROUP BY walk_id, seed
+  SELECT c.walk_id, c.seed, {k} AS step, e.dst AS vertex
+  FROM w{k - 1} c
+  JOIN degs d ON d.src = c.vertex
+  JOIN edi e ON e.src = c.vertex
+   AND e.idx = CAST(('0x' || substr(md5(c.walk_id || ':' || '{k}'), 1, 8)) AS BIGINT) % d.deg
 )"""
 
 
 def _walks_words_sql(length: int = 6) -> str:
-    """Replays the identical argmin-hash draw: md5 of the same salted
-    string; the ``|| ':' || dst`` suffix pins the (hash, dst) tie-break
-    the engine's min(struct(hash, dst)) uses (md5 is fixed-width, so the
-    concatenation compares hash first, dst only on a full-hash tie)."""
+    """Replays the identical index draw: the same 32-bit md5 prefix of
+    the same salted string, mod the same ascending-dst neighbor index —
+    walks.py's nbr(v)[H(walk_id:step) mod deg(v)] exactly (both draws
+    are non-negative, so %% agrees across engines)."""
     head = f"""WITH {_WORD_GRAPH_CTES}, ed AS MATERIALIZED (
   SELECT DISTINCT s AS src, o AS dst FROM trips
+), edi AS MATERIALIZED (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM ed
+), degs AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM ed GROUP BY src
 ), seeds AS MATERIALIZED (
   SELECT DISTINCT src FROM ed ORDER BY src LIMIT 8
 ), w0 AS MATERIALIZED (
