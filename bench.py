@@ -356,6 +356,20 @@ def main() -> None:
     c_lin = bench("coreness", run_coreness)
     extras["coreness_rounds"] = len(c_lin)
 
+    from hipporag_spark.algo.coloring import greedy_coloring
+
+    def run_coloring():
+        colors, col_lin = greedy_coloring(
+            spark, adj, verts.select("id"), num_blocks=blocks
+        )
+        extras["coloring_colors"] = colors.agg(
+            F.countDistinct("color")
+        ).collect()[0][0]
+        return col_lin
+
+    col_lin = bench("greedy_coloring", run_coloring)
+    extras["coloring_rounds"] = len(col_lin)
+
     from hipporag_spark.algo.neighborhood import two_hop_sizes
 
     def run_two_hop():

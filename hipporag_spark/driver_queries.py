@@ -970,6 +970,81 @@ ORDER BY word
 """
 
 
+def q_coloring_words(spark, sf_dir):
+    """Greedy first-fit coloring in ascending id order (``algo/coloring``:
+    Jones–Plassmann rounds with smaller-id priority — result identical to
+    the sequential greedy, computed vertex-parallel). Ids are name-ranked,
+    so the oracle replays the same greedy directly on the words."""
+    from .algo.coloring import greedy_coloring
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    colors, lineage = greedy_coloring(spark, adjacency(e), ids.select("id"), num_blocks=8)
+    assert len(lineage) <= _COLORING_ORACLE_ROUNDS, (
+        f"greedy_coloring depth {len(lineage)} exceeds the oracle unroll "
+        f"{_COLORING_ORACLE_ROUNDS}; raise _COLORING_ORACLE_ROUNDS"
+    )
+    return (
+        colors.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", "color")
+        .orderBy("word")
+    )
+
+
+_COLORING_ORACLE_ROUNDS = 40
+
+
+def _coloring_round(r: int) -> str:
+    """One JP round: uncolored vertices with no uncolored smaller
+    neighbor take the mex of their colored neighbors' colors — exactly
+    coloring.py's superstep."""
+    return f"""ready{r} AS (
+  SELECT u.id FROM u{r - 1} u WHERE NOT EXISTS (
+    SELECT 1 FROM nbrs e JOIN u{r - 1} x ON x.id = e.b
+    WHERE e.a = u.id AND e.b < u.id)
+), used{r} AS (
+  SELECT DISTINCT rd.id, c.col FROM ready{r} rd
+  JOIN nbrs e ON e.a = rd.id JOIN c{r - 1} c ON c.id = e.b
+), newly{r} AS MATERIALIZED (
+  SELECT id, min(k) AS col FROM (
+    SELECT rd.id, t.k FROM ready{r} rd JOIN degs d ON d.id = rd.id,
+    LATERAL unnest(generate_series(0, d.deg)) AS t(k)
+  ) cand ANTI JOIN used{r} s ON s.id = cand.id AND s.col = cand.k
+  GROUP BY id
+), c{r} AS MATERIALIZED (
+  SELECT id, col FROM c{r - 1} UNION ALL SELECT id, col FROM newly{r}
+), u{r} AS MATERIALIZED (
+  SELECT id FROM u{r - 1} ANTI JOIN newly{r} n ON n.id = u{r - 1}.id
+)"""
+
+
+def _coloring_words_sql(rounds: int = _COLORING_ORACLE_ROUNDS) -> str:
+    """JP rounds UNROLLED with the convergence sentinel (a non-empty
+    uncolored residue after ``rounds`` emits a visible mismatch row)."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), degs AS MATERIALIZED (
+  SELECT a AS id, count(*) AS deg FROM nbrs GROUP BY a
+), u0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id FROM nbrs
+), c0 AS MATERIALIZED (
+  SELECT id, CAST(0 AS BIGINT) AS col FROM u0 WHERE 1 = 0
+)"""
+    ctes = [head] + [_coloring_round(r) for r in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word, color FROM (
+  SELECT id AS word, col AS color FROM c{rounds}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, CAST(-1 AS BIGINT) AS color
+  WHERE EXISTS (SELECT 1 FROM u{rounds})
+) ORDER BY word"""
+    )
+
+
 def q_weighted_sample_docs(spark, sf_dir):
     """Deterministic quality-weighted document sampling
     (``ops/sampling.weighted_sample``): keep probability ∝ word count at
@@ -3036,6 +3111,7 @@ def all_queries() -> dict:
         "dag_layers_words": q_dag_layers_words,
         "coreness_words": q_coreness_words,
         "two_hop_words": q_two_hop_words,
+        "coloring_words": q_coloring_words,
         "weighted_sample_docs": q_weighted_sample_docs,
         "ppr_docs": q_ppr_docs,
         "recall_at_k": q_recall_at_k,
@@ -3105,6 +3181,7 @@ def all_oracles() -> dict:
         "dag_layers_words": _dag_layers_words_sql(),
         "coreness_words": _coreness_words_sql(),
         "two_hop_words": SQL_TWO_HOP_WORDS,
+        "coloring_words": _coloring_words_sql(),
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "ppr_docs": _ppr_docs_sql(),
         "recall_at_k": _recall_sql(),

@@ -1122,3 +1122,48 @@ def test_two_hop_mid_degree_cap_is_lower_bound(spark):
     # vertex 1's two-hop through the (uncapped) triangle edge survives
     assert capped[1] >= 2
     assert all(capped[v] <= full[v] for v in full)
+
+
+def test_greedy_coloring_matches_sequential_first_fit(spark):
+    from hipporag_spark.algo.coloring import greedy_coloring
+
+    n = 35
+    edges = random_multigraph(n, 150, 59)
+    adj, st, vids = make_graph(spark, n, edges)
+    nbrs = {}
+    for u, v, _ in edges:
+        if u != v:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+    want = {}
+    for v in range(n):
+        used = {want[u] for u in nbrs.get(v, ()) if u in want}
+        c = 0
+        while c in used:
+            c += 1
+        want[v] = c
+    colors, lineage = greedy_coloring(spark, adj, vids, num_blocks=4)
+    got = {r["id"]: r["color"] for r in colors.collect()}
+    assert got == want
+    # proper coloring
+    for u, vs in nbrs.items():
+        for v in vs:
+            assert got[u] != got[v]
+    assert lineage[-1]["converged"]
+    # parallel depth << n on a sparse graph
+    assert len(lineage) < n
+
+
+def test_greedy_coloring_path_graph_two_colors(spark):
+    """Path graph: first-fit by id alternates 0/1 and the JP wavefront
+    needs one round per vertex prefix — pins multi-round behavior and
+    the exhaustion raise."""
+    from hipporag_spark.algo.coloring import greedy_coloring
+
+    edges = [(i, i + 1, 1.0) for i in range(7)]
+    adj, st, vids = make_graph(spark, 8, edges)
+    colors, lineage = greedy_coloring(spark, adj, vids, num_blocks=2)
+    got = {r["id"]: r["color"] for r in colors.collect()}
+    assert got == {i: i % 2 for i in range(8)}
+    with pytest.raises(RuntimeError, match="max_iter"):
+        greedy_coloring(spark, adj, vids, max_iter=2, num_blocks=2)

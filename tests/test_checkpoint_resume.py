@@ -435,3 +435,33 @@ def test_coreness_kill_and_resume(spark, tmp_path):
     got = {(r["id"], r["coreness"]) for r in part2.collect()}
     assert got == want
     assert lin2[-1]["superstep"] == len(full_lin) - 1
+
+
+def test_coloring_kill_and_resume(spark, tmp_path):
+    """The JP wavefront resumes from the persisted colored set; the path
+    graph guarantees one newly-colored vertex per round so max_iter=3
+    stops genuinely mid-run (raising, per the non-fixpoint contract)."""
+    from hipporag_spark.algo.coloring import greedy_coloring
+
+    n = 9
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    adj = adjacency(e).persist()
+    vids = spark.range(n).select(F.col("id"))
+    ckdir = str(tmp_path / "ckcol")
+
+    full, full_lin = greedy_coloring(spark, adj, vids, num_blocks=2)
+    want = {(r["id"], r["color"]) for r in full.collect()}
+
+    with pytest.raises(RuntimeError, match="max_iter"):
+        greedy_coloring(
+            spark, adj, vids, num_blocks=2, checkpoint_dir=ckdir,
+            run_id="col1", max_iter=3,
+        )
+    part2, lin2 = greedy_coloring(
+        spark, adj, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="col1"
+    )
+    got = {(r["id"], r["color"]) for r in part2.collect()}
+    assert got == want
+    assert lin2[-1]["superstep"] == len(full_lin) - 1
