@@ -1045,6 +1045,66 @@ SELECT word, color FROM (
     )
 
 
+def q_sparsify_words(spark, sf_dir):
+    """Degree-proportional sparsification (``graph/build.sparsify_edges``,
+    keep prob min(1, c/√(d_u·d_v)) md5-decided — hub-hub edges thinned,
+    low-degree bridges always kept) of the word graph."""
+    from .graph.build import sparsify_edges
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    kept = sparsify_edges(
+        t.select(F.col("a").alias("src"), F.col("b").alias("dst")), c=4.0
+    )
+    return kept.select(
+        F.col("a").alias("word_a"), F.col("b").alias("word_b"), "keep_prob"
+    ).orderBy("word_a", "word_b")
+
+
+SQL_SPARSIFY_WORDS = f"""
+WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM trips
+), deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+  ) GROUP BY id
+), e AS (
+  SELECT u.a, u.b, da.deg AS da, db.deg AS db
+  FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b
+)
+SELECT a AS word_a, b AS word_b,
+       round(least(1.0, 4.0 / sqrt(da * db)), 6) AS keep_prob
+FROM e
+WHERE CAST(('0x' || substr(md5(a || '|' || b || '|'), 1, 8)) AS BIGINT) % 10000
+      < floor(least(1.0, 4.0 / sqrt(da * db)) * 10000)
+ORDER BY word_a, word_b
+"""
+
+
+def q_reciprocity_words(spark, sf_dir):
+    """Directed reciprocity (``graph/build.reciprocity``) of the word
+    graph: the fraction of adjacent-word edges whose reverse order also
+    occurs. 1-row (n_directed, n_reciprocal, reciprocity)."""
+    from .graph.build import reciprocity
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    return reciprocity(t.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+
+
+SQL_RECIPROCITY_WORDS = f"""
+WITH {_WORD_GRAPH_CTES}, d AS (
+  SELECT DISTINCT s AS src, o AS dst FROM trips WHERE s <> o
+), r AS (
+  SELECT count(*) AS n_reciprocal FROM d
+  WHERE EXISTS (SELECT 1 FROM d x WHERE x.src = d.dst AND x.dst = d.src)
+)
+SELECT (SELECT count(*) FROM d) AS n_directed, r.n_reciprocal,
+       round(r.n_reciprocal / (SELECT count(*) FROM d), 6) AS reciprocity
+FROM r
+"""
+
+
 def q_weighted_sample_docs(spark, sf_dir):
     """Deterministic quality-weighted document sampling
     (``ops/sampling.weighted_sample``): keep probability ∝ word count at
@@ -3112,6 +3172,8 @@ def all_queries() -> dict:
         "coreness_words": q_coreness_words,
         "two_hop_words": q_two_hop_words,
         "coloring_words": q_coloring_words,
+        "sparsify_words": q_sparsify_words,
+        "reciprocity_words": q_reciprocity_words,
         "weighted_sample_docs": q_weighted_sample_docs,
         "ppr_docs": q_ppr_docs,
         "recall_at_k": q_recall_at_k,
@@ -3182,6 +3244,8 @@ def all_oracles() -> dict:
         "coreness_words": _coreness_words_sql(),
         "two_hop_words": SQL_TWO_HOP_WORDS,
         "coloring_words": _coloring_words_sql(),
+        "sparsify_words": SQL_SPARSIFY_WORDS,
+        "reciprocity_words": SQL_RECIPROCITY_WORDS,
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "ppr_docs": _ppr_docs_sql(),
         "recall_at_k": _recall_sql(),

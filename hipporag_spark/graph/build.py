@@ -95,6 +95,74 @@ def bipartite_project(
     return out
 
 
+def sparsify_edges(
+    edges: DataFrame, c: float = 4.0, salt: str = ""
+) -> DataFrame:
+    """Degree-proportional edge sparsification: keep undirected edge
+    {u, v} with probability ``min(1, c / sqrt(deg(u)·deg(v)))``, decided
+    by the edge key's md5 bucket — the effective-resistance-inspired
+    heuristic (Spielman–Srivastava flavored): edges between hubs are
+    heavily thinned (they carry redundant connectivity), bridge-ish edges
+    between low-degree vertices are always kept. Deterministic — any
+    engine that can compute md5 replays the identical cut, and the graph
+    shrinks reproducibly at any parallelism.
+
+    Scale shape: one degree agg + two keyed joins + a pure projection
+    filter; no iteration, no driver data. Returns ``(a, b, keep_prob)``
+    with a < b for the surviving edges."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    p = F.least(F.lit(1.0), F.lit(c) / F.sqrt(F.col("da") * F.col("db")))
+    h = F.md5(
+        F.concat_ws("|", F.col("a").cast("string"), F.col("b").cast("string"),
+                    F.lit(salt))
+    )
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10_000
+    return (
+        e.filter(bucket < F.floor(p * 10_000))
+        .select("a", "b", F.round(p, 6).alias("keep_prob"))
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity as a 1-row DataFrame
+    ``(n_directed, n_reciprocal, reciprocity)``: the fraction of directed
+    edges whose reverse also exists (self-loops dropped). One distinct +
+    one self-semi-join on the flipped key + a 1-row agg — no iteration."""
+    d = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    recip = d.join(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    return d.agg(F.count("*").alias("n_directed")).crossJoin(
+        F.broadcast(recip.agg(F.count("*").alias("n_reciprocal")))
+    ).select(
+        "n_directed",
+        "n_reciprocal",
+        F.round(F.col("n_reciprocal") / F.col("n_directed"), 6).alias("reciprocity"),
+    )
+
+
 def vertices(extraction: DataFrame, edges: DataFrame | None = None) -> DataFrame:
     """Vertex table ``(id: long, name: string, ntype, content)``.
 

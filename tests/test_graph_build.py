@@ -161,3 +161,36 @@ def test_bipartite_project_max_fanout_drops_hub_groups(spark):
     out = {(r["a"], r["b"]): r["weight"]
            for r in bipartite_project(bip, max_fanout=5).collect()}
     assert out == {("x", "y"): 1}
+
+
+def test_sparsify_edges_deterministic_and_bridge_preserving(spark):
+    from hipporag_spark.graph.build import sparsify_edges
+
+    # hub clique (high degrees, thinned) + a pendant path (deg<=2, kept)
+    clique = [(u, v) for u in range(20) for v in range(u + 1, 20)]
+    path = [(100, 101), (101, 102), (102, 103)]
+    e = spark.createDataFrame(clique + path, "src long, dst long")
+    kept = sparsify_edges(e, c=4.0)
+    rows = {(r["a"], r["b"]): r["keep_prob"] for r in kept.collect()}
+    # deg<=2 endpoints: p = min(1, 4/sqrt(<=4)) = 1 -> always kept
+    for a, b in path:
+        assert (a, b) in rows and rows[(a, b)] == 1.0
+    # clique edges: p = 4/19 -> most dropped
+    clique_kept = [k for k in rows if k[0] < 100]
+    assert 0 < len(clique_kept) < len(clique) / 2
+    # deterministic
+    rows2 = {(r["a"], r["b"]): r["keep_prob"]
+             for r in sparsify_edges(e.repartition(5), c=4.0).collect()}
+    assert rows == rows2
+
+
+def test_reciprocity_exact(spark):
+    from hipporag_spark.graph.build import reciprocity
+
+    # 0->1 (reciprocated), 1->0, 1->2 (not), 2->2 (self loop, dropped)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 2)], "src long, dst long"
+    )
+    row = reciprocity(e).collect()[0]
+    assert row["n_directed"] == 3 and row["n_reciprocal"] == 2
+    assert abs(row["reciprocity"] - round(2 / 3, 6)) < 1e-12

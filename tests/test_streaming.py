@@ -59,3 +59,49 @@ def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
     )
     assert edges_replay == edges_once
     assert idx.extraction().count() == n_ex_once
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """First occurrence of each content hash passes through exactly once
+    across micro-batches; within a batch the smallest doc_id wins and
+    the duplicate count is reported."""
+    from pyspark.sql import functions as F
+    from hipporag_spark.streaming.dedup import dedup_stream
+
+    in_dir = str(tmp_path / "din")
+    ck_dir = str(tmp_path / "dck")
+    schema = "content_hash string, doc_id long, text string"
+
+    drop1 = [("h1", 5, "alpha"), ("h1", 2, "alpha"), ("h2", 7, "beta")]
+    drop2 = [("h1", 9, "alpha"), ("h3", 1, "gamma"), ("h3", 3, "gamma")]
+    spark.createDataFrame(drop1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", ck_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(drop2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.table("dedup_stream_test")
+        .select("content_hash", "doc_id", "text", "n_dupes_in_batch")
+        .collect()
+    )
+    # h1: first batch winner doc_id=2 with 1 dup; second-batch h1 dropped.
+    # h2: single. h3: winner doc_id=1 with 1 dup in its batch.
+    assert got == [
+        ("h1", 2, "alpha", 1),
+        ("h2", 7, "beta", 0),
+        ("h3", 1, "gamma", 1),
+    ]
