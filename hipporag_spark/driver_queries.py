@@ -1105,6 +1105,72 @@ FROM r
 """
 
 
+def q_butterflies_words(spark, sf_dir):
+    """Global butterfly census (``graph/build.butterfly_count``: bipartite
+    4-cycles of the passage↔entity graph via the Σ C(co, 2) identity).
+    1-row (wedge_pairs, butterflies)."""
+    from .graph.build import butterfly_count
+
+    docs = load(spark, sf_dir, "documents")
+    ex = doc_extraction(docs)
+    bip = ex.select(
+        F.col("chunk_id").alias("src"), F.explode("entities").alias("dst")
+    )
+    return butterfly_count(bip)
+
+
+SQL_BUTTERFLIES_WORDS = """
+WITH ents AS (
+  SELECT DISTINCT md5(text) AS g, w
+  FROM (SELECT text, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) > 3
+), pairs AS (
+  SELECT e1.w AS a, e2.w AS b, count(*) AS weight
+  FROM ents e1 JOIN ents e2 ON e1.g = e2.g AND e1.w < e2.w
+  GROUP BY e1.w, e2.w HAVING count(*) >= 2
+)
+SELECT count(*) AS wedge_pairs,
+       sum(CAST(weight * (weight - 1) / 2 AS BIGINT)) AS butterflies
+FROM pairs
+"""
+
+
+def q_rich_club_words(spark, sf_dir):
+    """Rich-club coefficients (``graph/build.rich_club``): edge density
+    among vertices of degree > k for k ∈ {1, 2, 4, 8} on the word
+    graph."""
+    from .graph.build import rich_club
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    return rich_club(
+        t.select(F.col("a").alias("src"), F.col("b").alias("dst")), ks=[1, 2, 4, 8]
+    ).orderBy("k")
+
+
+def _rich_club_sql(ks=(1, 2, 4, 8)) -> str:
+    sels = []
+    for k in ks:
+        sels.append(f"""SELECT {k} AS k, n_nodes, n_edges,
+       round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6) AS phi
+FROM (SELECT count(*) AS n_nodes FROM deg WHERE deg > {k}),
+     (SELECT count(*) AS n_edges FROM und u
+       WHERE EXISTS (SELECT 1 FROM deg d WHERE d.id = u.a AND d.deg > {k})
+         AND EXISTS (SELECT 1 FROM deg d WHERE d.id = u.b AND d.deg > {k}))
+WHERE n_nodes >= 2""")
+    body = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM trips
+), deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+  ) GROUP BY id
+)
+SELECT k, n_nodes, n_edges, phi FROM ({body}) ORDER BY k
+"""
+
+
 def q_weighted_sample_docs(spark, sf_dir):
     """Deterministic quality-weighted document sampling
     (``ops/sampling.weighted_sample``): keep probability ∝ word count at
@@ -3174,6 +3240,8 @@ def all_queries() -> dict:
         "coloring_words": q_coloring_words,
         "sparsify_words": q_sparsify_words,
         "reciprocity_words": q_reciprocity_words,
+        "butterflies_words": q_butterflies_words,
+        "rich_club_words": q_rich_club_words,
         "weighted_sample_docs": q_weighted_sample_docs,
         "ppr_docs": q_ppr_docs,
         "recall_at_k": q_recall_at_k,
@@ -3246,6 +3314,8 @@ def all_oracles() -> dict:
         "coloring_words": _coloring_words_sql(),
         "sparsify_words": SQL_SPARSIFY_WORDS,
         "reciprocity_words": SQL_RECIPROCITY_WORDS,
+        "butterflies_words": SQL_BUTTERFLIES_WORDS,
+        "rich_club_words": _rich_club_sql(),
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "ppr_docs": _ppr_docs_sql(),
         "recall_at_k": _recall_sql(),

@@ -139,6 +139,75 @@ def sparsify_edges(
     )
 
 
+def butterfly_count(bipartite: DataFrame) -> DataFrame:
+    """Global butterfly (bipartite 4-cycle) count as a 1-row DataFrame
+    ``(wedge_pairs, butterflies)``: butterflies = Σ over member pairs
+    C(shared_groups, 2) — the standard bipartite cohesion census
+    (Sanei-Mehri et al. 2018's counting identity, re-expressed as the
+    projection aggregate).
+
+    Scale shape: rides :func:`bipartite_project` (the one quadratic
+    hazard, same mitigation applies — pass the projection of a
+    fanout-capped membership for the capped census); the census itself
+    is a map-side-combinable 1-row aggregate over the pair weights."""
+    proj = bipartite_project(bipartite, min_weight=2)
+    return proj.agg(
+        F.count("*").alias("wedge_pairs"),
+        F.sum(
+            (F.col("weight") * (F.col("weight") - 1) / 2).cast("long")
+        ).alias("butterflies"),
+    )
+
+
+def rich_club(edges: DataFrame, ks: list[int] | None = None) -> DataFrame:
+    """Rich-club coefficients φ(k) = 2·E_k / (N_k·(N_k−1)) for each
+    degree threshold k: the edge density among vertices of degree > k
+    (Zhou & Mondragón 2004). Returns ``(k, n_nodes, n_edges, phi)`` —
+    rows only for thresholds with ≥ 2 qualifying vertices.
+
+    Scale shape: one degree agg, then per-k two semi-joins of the edge
+    list against the (shrinking) rich set + a 1-row agg — k values are
+    few and fixed, so this is a handful of keyed passes, no iteration."""
+    ks = ks or [1, 2, 4, 8]
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    parts = []
+    for k in ks:
+        rich = deg.filter(F.col("deg") > k).select("id")
+        ek = (
+            und.join(rich.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(rich.withColumnRenamed("id", "b"), "b", "left_semi")
+            .agg(F.count("*").alias("n_edges"))
+        )
+        nk = rich.agg(F.count("*").alias("n_nodes"))
+        parts.append(
+            nk.crossJoin(F.broadcast(ek)).select(
+                F.lit(k).alias("k"), "n_nodes", "n_edges",
+                F.round(
+                    2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                    6,
+                ).alias("phi"),
+            ).filter(F.col("n_nodes") >= 2)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def reciprocity(edges: DataFrame) -> DataFrame:
     """Directed-graph reciprocity as a 1-row DataFrame
     ``(n_directed, n_reciprocal, reciprocity)``: the fraction of directed

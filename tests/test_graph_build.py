@@ -2,6 +2,8 @@
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hipporag_spark.extract import extract
@@ -194,3 +196,35 @@ def test_reciprocity_exact(spark):
     row = reciprocity(e).collect()[0]
     assert row["n_directed"] == 3 and row["n_reciprocal"] == 2
     assert abs(row["reciprocity"] - round(2 / 3, 6)) < 1e-12
+
+
+def test_butterfly_count_hand_computed(spark):
+    from hipporag_spark.graph.build import butterfly_count
+
+    # groups g1..g3 over members a,b,c: (a,b) share 3 groups -> C(3,2)=3
+    # butterflies; (a,c) and (b,c) share only 1 group (below min_weight).
+    rows = [
+        ("g1", "a"), ("g1", "b"),
+        ("g2", "a"), ("g2", "b"),
+        ("g3", "a"), ("g3", "b"), ("g3", "c"),
+    ]
+    bip = spark.createDataFrame(rows, "src string, dst string")
+    out = butterfly_count(bip).collect()[0]
+    assert out["wedge_pairs"] == 1 and out["butterflies"] == 3
+
+
+def test_rich_club_star_plus_clique(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.graph.build import rich_club
+
+    # K5 (degrees 4) + star leaves on vertex 0 (degree 4+3=7)
+    edges = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    edges += [(0, 10), (0, 11), (0, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+           for r in rich_club(e, ks=[1, 2, 4]).collect()}
+    G = nx.Graph(edges)
+    want = nx.rich_club_coefficient(G, normalized=False)
+    for k in (1, 2):  # k=4: only vertex 0 qualifies -> no row (n<2)
+        assert got[k][2] == round(want[k], 6), (k, got[k], want[k])
+    assert 4 not in got
