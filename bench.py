@@ -379,6 +379,18 @@ def main() -> None:
 
     extras["two_hop_rows"] = bench("two_hop_sizes", run_two_hop)
 
+    from hipporag_spark.algo.mst import minimum_spanning_forest
+
+    def run_msf():
+        forest, m_lin = minimum_spanning_forest(
+            spark, built["edges"], num_blocks=blocks
+        )
+        extras["msf_edges"] = forest.count()
+        return m_lin
+
+    m2_lin = bench("minimum_spanning_forest", run_msf)
+    extras["msf_rounds"] = len(m2_lin)
+
     from hipporag_spark.graph.build import bipartite_project
 
     def run_bipartite():

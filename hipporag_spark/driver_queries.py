@@ -1105,6 +1105,101 @@ FROM r
 """
 
 
+def q_msf_words(spark, sf_dir):
+    """Minimum spanning forest (``algo/mst``: Borůvka rounds + star
+    contraction) of the word graph weighted by co-occurrence count —
+    the least-frequent backbone. Unique under the (weight, a, b) edge
+    key order, so the oracle's replay is tie-break-free."""
+    from .algo.mst import minimum_spanning_forest
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    staged = (
+        t.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"), "weight")
+    )
+    forest, lineage = minimum_spanning_forest(spark, staged, num_blocks=8)
+    assert len(lineage) <= _MSF_ORACLE_ROUNDS, (
+        f"msf rounds {len(lineage)} exceed the oracle unroll "
+        f"{_MSF_ORACLE_ROUNDS}; raise _MSF_ORACLE_ROUNDS"
+    )
+    return forest.select(
+        F.col("a").alias("word_a"), F.col("b").alias("word_b"),
+        F.round("weight", 6).alias("weight"),
+    ).orderBy("word_a", "word_b")
+
+
+_MSF_ORACLE_ROUNDS = 6
+_MSF_ORACLE_JUMPS = 8
+
+
+def _msf_round(r: int, jumps: int) -> str:
+    """One Borůvka round, exactly mst.py's superstep: per-component min
+    outgoing (w, a, b) key, mutual pairs broken toward the smaller label,
+    pointer-jump to roots, relabel, accumulate picks."""
+    p = f"comp{r - 1}"
+    parts = [f"""ce{r} AS (
+  SELECT e.a, e.b, e.w, ca.label AS ca, cb.label AS cb
+  FROM uw e JOIN {p} ca ON ca.id = e.a JOIN {p} cb ON cb.id = e.b
+  WHERE ca.label <> cb.label
+), pk{r} AS MATERIALIZED (
+  SELECT c, w, a, b, o FROM (
+    SELECT c, w, a, b, o, row_number() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+    FROM (SELECT ca AS c, w, a, b, cb AS o FROM ce{r}
+          UNION ALL SELECT cb AS c, w, a, b, ca AS o FROM ce{r})
+  ) WHERE rn = 1
+), mu{r} AS (
+  SELECT p.c FROM pk{r} p JOIN pk{r} q ON q.c = p.o WHERE q.o = p.c
+), j{r}_0 AS MATERIALIZED (
+  SELECT l.id,
+         coalesce(CASE WHEN m.c IS NOT NULL THEN least(pp.c, pp.o)
+                       ELSE pp.o END, l.id) AS p
+  FROM (SELECT DISTINCT label AS id FROM {p}) l
+  LEFT JOIN pk{r} pp ON pp.c = l.id
+  LEFT JOIN mu{r} m ON m.c = l.id
+)"""]
+    for t in range(1, jumps + 1):
+        parts.append(f"""j{r}_{t} AS MATERIALIZED (
+  SELECT x.id, y.p FROM j{r}_{t - 1} x JOIN j{r}_{t - 1} y ON y.id = x.p
+)""")
+    parts.append(f"""comp{r} AS MATERIALIZED (
+  SELECT c.id, j.p AS label FROM {p} c JOIN j{r}_{jumps} j ON j.id = c.label
+), f{r} AS MATERIALIZED (
+  SELECT a, b, w FROM f{r - 1} UNION SELECT DISTINCT a, b, w FROM pk{r}
+)""")
+    return ",".join(parts)
+
+
+def _msf_words_sql(
+    rounds: int = _MSF_ORACLE_ROUNDS, jumps: int = _MSF_ORACLE_JUMPS
+) -> str:
+    """Borůvka UNROLLED (outer rounds × pointer jumps) with the
+    convergence sentinel: any still-crossing edge after ``rounds``
+    emits a visible mismatch row."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, uw AS MATERIALIZED (
+  SELECT least(s, o) AS a, greatest(s, o) AS b, CAST(count(*) AS DOUBLE) AS w
+  FROM trips WHERE s <> o GROUP BY 1, 2
+), comp0 AS MATERIALIZED (
+  SELECT id, id AS label FROM (
+    SELECT DISTINCT a AS id FROM uw UNION SELECT DISTINCT b FROM uw)
+), f0 AS (SELECT a, b, w FROM uw WHERE 1 = 0)"""
+    ctes = [head] + [_msf_round(r, jumps) for r in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word_a, word_b, weight FROM (
+  SELECT a AS word_a, b AS word_b, round(w, 6) AS weight FROM f{rounds}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word_a, '' AS word_b, -1.0 AS weight
+  WHERE EXISTS (
+    SELECT 1 FROM uw e JOIN comp{rounds} x ON x.id = e.a
+    JOIN comp{rounds} y ON y.id = e.b WHERE x.label <> y.label)
+) ORDER BY word_a, word_b"""
+    )
+
+
 def q_butterflies_words(spark, sf_dir):
     """Global butterfly census (``graph/build.butterfly_count``: bipartite
     4-cycles of the passage↔entity graph via the Σ C(co, 2) identity).
@@ -3242,6 +3337,7 @@ def all_queries() -> dict:
         "reciprocity_words": q_reciprocity_words,
         "butterflies_words": q_butterflies_words,
         "rich_club_words": q_rich_club_words,
+        "msf_words": q_msf_words,
         "weighted_sample_docs": q_weighted_sample_docs,
         "ppr_docs": q_ppr_docs,
         "recall_at_k": q_recall_at_k,
@@ -3316,6 +3412,7 @@ def all_oracles() -> dict:
         "reciprocity_words": SQL_RECIPROCITY_WORDS,
         "butterflies_words": SQL_BUTTERFLIES_WORDS,
         "rich_club_words": _rich_club_sql(),
+        "msf_words": _msf_words_sql(),
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "ppr_docs": _ppr_docs_sql(),
         "recall_at_k": _recall_sql(),

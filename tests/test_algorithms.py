@@ -1167,3 +1167,65 @@ def test_greedy_coloring_path_graph_two_colors(spark):
     assert got == {i: i % 2 for i in range(8)}
     with pytest.raises(RuntimeError, match="max_iter"):
         greedy_coloring(spark, adj, vids, max_iter=2, num_blocks=2)
+
+
+def test_msf_matches_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.mst import minimum_spanning_forest
+
+    rng = np.random.default_rng(61)
+    n = 40
+    # two components, distinct weights -> unique MSF
+    edges = []
+    seen = set()
+    for lo, hi, m in [(0, 20, 60), (20, 40, 50)]:
+        while sum(1 for a, b in seen if lo <= a < hi) < m:
+            u, v = rng.integers(lo, hi, 2)
+            if u != v and (min(u, v), max(u, v)) not in seen:
+                seen.add((min(u, v), max(u, v)))
+    for i, (u, v) in enumerate(sorted(seen)):
+        # strictly distinct weights -> the MSF is unique, so the NetworkX
+        # comparison is tie-break-free
+        edges.append((int(u), int(v), float(i + 1)))
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    G = nx.Graph()
+    for u, v, w in edges:
+        G.add_edge(u, v, weight=w)
+    forest, lineage = minimum_spanning_forest(spark, e, num_blocks=4)
+    got = {(r["a"], r["b"], r["weight"]) for r in forest.collect()}
+    want = {
+        (min(u, v), max(u, v), d["weight"])
+        for u, v, d in nx.minimum_spanning_edges(G, data=True)
+    }
+    assert got == want
+    assert lineage[-1]["converged"]
+    # Boruvka halves components: rounds well under log-linear
+    assert len(lineage) <= 8
+
+
+def test_msf_parallel_edges_and_chain(spark):
+    """Parallel edges keep the min key; a weighted chain's MSF is the
+    chain minus its heaviest edge per cycle (none here — tree in, tree
+    out), and a duplicated edge never double-enters the forest."""
+    from hipporag_spark.algo.mst import minimum_spanning_forest
+
+    e = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 0, 3.0), (1, 2, 2.0), (2, 3, 9.0), (0, 2, 4.0)],
+        "src long, dst long, weight double",
+    )
+    forest, _ = minimum_spanning_forest(spark, e, num_blocks=2)
+    got = {(r["a"], r["b"], r["weight"]) for r in forest.collect()}
+    # cycle 0-1-2: drop the max key edge (0,1,3.0 kept? keys: (0,1)->3.0
+    # after parallel-min, (1,2)->2.0, (0,2)->4.0 -> drop (0,2))
+    assert got == {(0, 1, 3.0), (1, 2, 2.0), (2, 3, 9.0)}
+
+
+def test_msf_raises_on_exhaustion(spark):
+    from hipporag_spark.algo.mst import minimum_spanning_forest
+
+    e = spark.createDataFrame(
+        [(i, i + 1, float(i + 1)) for i in range(16)],
+        "src long, dst long, weight double",
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        minimum_spanning_forest(spark, e, max_iter=1, num_blocks=2)

@@ -465,3 +465,36 @@ def test_coloring_kill_and_resume(spark, tmp_path):
     got = {(r["id"], r["color"]) for r in part2.collect()}
     assert got == want
     assert lin2[-1]["superstep"] == len(full_lin) - 1
+
+
+def test_msf_kill_and_resume(spark, tmp_path):
+    """Borůvka resumes from the merged (component-map + forest)
+    checkpoint; a long weighted path needs several rounds so max_iter=1
+    stops genuinely mid-run (raising, per the non-fixpoint contract)."""
+    from hipporag_spark.algo.mst import minimum_spanning_forest
+
+    # alternating light/heavy weights: round-1 picks pair vertices up
+    # (the heavy edges are nobody's minimum), so contraction halves the
+    # component count each round -> a genuine multi-round cascade
+    e = spark.createDataFrame(
+        [(i, i + 1, float(i + 1) if i % 2 == 0 else float(100 + i))
+         for i in range(16)],
+        "src long, dst long, weight double",
+    )
+    ckdir = str(tmp_path / "ckmsf")
+
+    full, full_lin = minimum_spanning_forest(spark, e, num_blocks=2)
+    want = {(r["a"], r["b"], r["weight"]) for r in full.collect()}
+    assert len(full_lin) > 2
+
+    with pytest.raises(RuntimeError, match="max_iter"):
+        minimum_spanning_forest(
+            spark, e, num_blocks=2, checkpoint_dir=ckdir,
+            run_id="msf1", max_iter=1,
+        )
+    part2, lin2 = minimum_spanning_forest(
+        spark, e, num_blocks=2, checkpoint_dir=ckdir, run_id="msf1"
+    )
+    got = {(r["a"], r["b"], r["weight"]) for r in part2.collect()}
+    assert got == want
+    assert lin2[-1]["superstep"] == len(full_lin) - 1
