@@ -211,29 +211,87 @@ def main() -> None:
           "!ArrowEvalPython", "!BatchEvalPython"])
     )
 
-    # 12c. random-walk step: frontier × out-adjacency equi-join + a
-    #      two-phase min(struct(hash, dst)) argmin — map-side combinable,
-    #      NO window/sort, no cartesian in the hot path, all-JVM
-    from hipporag_spark.algo.walks import _step_hash
+    # 12c. random-walk step (index-draw form): frontier → deg join to
+    #      compute r = H(walk:t) mod deg, then ONE row probed per walk
+    #      via the (src, idx) equi-join — O(walks) candidate rows, no
+    #      per-neighbor fanout, no window in the per-step path, all-JVM
+    from hipporag_spark.algo.walks import _draw
+    from pyspark.sql import Window as _W
 
-    w_edges = adjacency(e).select("src", "dst").distinct()
+    w_und = adjacency(e).select("src", "dst").distinct()
+    w_idx = w_und.withColumn(
+        "idx",
+        (F.row_number().over(_W.partitionBy("src").orderBy("dst")) - 1).cast("long"),
+    )
+    w_deg = w_und.groupBy("src").agg(F.count("*").alias("deg"))
     frontier = spark.range(50).select(
         F.col("id").cast("string").alias("walk_id"),
         F.col("id").cast("string").alias("seed"),
         (F.col("id") % 97).alias("vertex"),
     )
-    h = _step_hash("xxhash64", 3, F.col("dst"))
-    walk_step = (
-        frontier.join(w_edges, frontier.vertex == w_edges.src)
-        .groupBy("walk_id", "seed")
-        .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("m"))
-        .select("walk_id", "seed", F.col("m.d").alias("vertex"))
+    drawn = frontier.join(w_deg, frontier.vertex == w_deg.src).select(
+        "walk_id", "seed", "vertex", _draw("xxhash64", 3, F.col("deg")).alias("r")
     )
+    walk_step = drawn.join(
+        w_idx, (drawn.vertex == w_idx.src) & (drawn.r == w_idx.idx)
+    ).select("walk_id", "seed", F.col("dst").alias("vertex"))
     p = plan_of(walk_step)
     sections.append(
-        ("random-walk step: two-phase argmin, no window, all-JVM", p,
-         ["partial_min", "!CartesianProduct", "!BroadcastNestedLoopJoin",
-          "!ArrowEvalPython", "!BatchEvalPython", "!Window"])
+        ("random-walk step: index-draw probe joins, no per-neighbor fanout agg", p,
+         ["!CartesianProduct", "!BroadcastNestedLoopJoin",
+          "!ArrowEvalPython", "!BatchEvalPython", "!SortAggregate"])
+    )
+
+    # 12e. k-truss support pass: degree-oriented wedge equi-join +
+    #      left-semi closure + map-side combinable support agg — no
+    #      cartesian, all-JVM
+    from hipporag_spark.algo.truss import _support
+
+    tr_edges = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    p = plan_of(_support(tr_edges))
+    sections.append(
+        ("k-truss support: wedge equi-join + semi closure, partial aggs", p,
+         ["partial_count", "LeftSemi", "!CartesianProduct",
+          "!BroadcastNestedLoopJoin", "!ArrowEvalPython", "!BatchEvalPython"])
+    )
+
+    # 12f. coreness h-operator round: state equi-join + per-vertex window
+    #      rank + map-side max agg — integer-only, no cartesian, all-JVM
+    from hipporag_spark.algo.coreness import coreness as _  # noqa: F401
+
+    cn_edges = adjacency(e).select("src", "dst").distinct()
+    cn_state = spark.range(97).select("id", F.lit(3).cast("long").alias("val"))
+    nb = cn_edges.join(
+        cn_state.select(F.col("id").alias("dst"), "val"), "dst"
+    ).select(F.col("src").alias("id"), "val")
+    wspec = _W.partitionBy("id").orderBy(F.col("val").desc())
+    h_round = (
+        nb.withColumn("rn", F.row_number().over(wspec))
+        .groupBy("id")
+        .agg(F.max(F.least(F.col("rn").cast("long"), F.col("val"))).alias("h"))
+    )
+    p = plan_of(h_round)
+    sections.append(
+        ("coreness h-operator round: equi-join + rank + max agg, all-JVM", p,
+         ["!CartesianProduct", "!BroadcastNestedLoopJoin",
+          "!ArrowEvalPython", "!BatchEvalPython"])
+    )
+
+    # 12g. bipartite projection: group-keyed self-equi-join + partial
+    #      pair count — the quadratic hazard is keyed, never cartesian
+    from hipporag_spark.graph.build import bipartite_project
+
+    bip = spark.range(500).select(
+        (F.col("id") % 50).cast("string").alias("src"),
+        (F.col("id") % 97).cast("string").alias("dst"),
+    )
+    p = plan_of(bipartite_project(bip, min_weight=2, max_fanout=64))
+    sections.append(
+        ("bipartite projection: keyed self-join + partial pair count", p,
+         ["partial_count", "!CartesianProduct", "!BroadcastNestedLoopJoin",
+          "!ArrowEvalPython", "!BatchEvalPython"])
     )
 
     # 12d. MIS round: two semi-joins against the active set + a map-side
