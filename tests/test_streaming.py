@@ -105,3 +105,44 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
         ("h2", 7, "beta", 0),
         ("h3", 1, "gamma", 1),
     ]
+
+
+def test_count_stream_cumulative_changelog(spark, tmp_path):
+    """Per-batch changelog rows carry cumulative totals; folding the
+    changelog by max(total) equals the exact batch groupBy count."""
+    from pyspark.sql import functions as F
+    from hipporag_spark.streaming.counters import count_stream
+
+    in_dir = str(tmp_path / "cin")
+    ck_dir = str(tmp_path / "cck")
+    schema = "key string"
+    drop1 = [("a",), ("a",), ("b",)]
+    drop2 = [("a",), ("c",), ("c",), ("b",)]
+    spark.createDataFrame(drop1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        count_stream(stream)
+        .writeStream.format("memory")
+        .queryName("count_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", ck_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(drop2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    log = spark.table("count_stream_test")
+    rows = sorted(tuple(r) for r in log.collect())
+    assert rows == [
+        ("a", 2, 2), ("a", 3, 1), ("b", 1, 1), ("b", 2, 1), ("c", 2, 2),
+    ]
+    folded = {
+        r["key"]: r["m"] for r in log.groupBy("key").agg(F.max("total").alias("m")).collect()
+    }
+    batch = spark.createDataFrame(drop1 + drop2, schema).groupBy("key").count()
+    assert folded == {r["key"]: r["count"] for r in batch.collect()}
