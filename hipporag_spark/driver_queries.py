@@ -1200,6 +1200,81 @@ SELECT word_a, word_b, weight FROM (
     )
 
 
+def q_diameter_words(spark, sf_dir):
+    """Double-sweep diameter lower bound (``algo/sssp.
+    double_sweep_diameter``: BFS from the smallest word, re-BFS from the
+    farthest vertex reached — the only diameter estimate that exists at
+    10^12 edges). 1-row (start_word, far_word, ecc_start, diameter_lb)."""
+    from .algo.sssp import double_sweep_diameter
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    und = t.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .withColumn("weight", F.lit(1.0))
+    )
+    start = sym.agg(F.min("src").alias("id"))
+    out, lin1, lin2 = double_sweep_diameter(spark, sym, start, num_blocks=8)
+    assert max(len(lin1), len(lin2)) <= _DIAMETER_ORACLE_ROUNDS, (
+        f"double-sweep depth {max(len(lin1), len(lin2))} exceeds the "
+        f"oracle unroll {_DIAMETER_ORACLE_ROUNDS}"
+    )
+    return out.select(
+        F.col("start_id").alias("start_word"),
+        F.col("far_id").alias("far_word"),
+        "ecc_start",
+        "diameter_lb",
+    )
+
+
+_DIAMETER_ORACLE_ROUNDS = 12
+
+
+def _bfs_round(tag: str, k: int) -> str:
+    p = f"{tag}_{k - 1}"
+    return f"""{tag}_{k} AS MATERIALIZED (
+  SELECT id, dist FROM {p}
+  UNION
+  SELECT nb.b AS id, {k} AS dist FROM {p} f JOIN nbrs nb ON nb.a = f.id
+  WHERE f.dist = {k - 1} AND nb.b NOT IN (SELECT id FROM {p})
+)"""
+
+
+def _diameter_words_sql(rounds: int = _DIAMETER_ORACLE_ROUNDS) -> str:
+    """Two unrolled BFS chains with the pinned (max dist, min id)
+    farthest-vertex tie-break and the convergence sentinel on both."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM trips
+  WHERE s <> o
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), st AS MATERIALIZED (SELECT min(a) AS id FROM nbrs),
+b1_0 AS MATERIALIZED (SELECT id, 0 AS dist FROM st)"""
+    ctes = [head] + [_bfs_round("b1", k) for k in range(1, rounds + 1)]
+    ctes.append(f"""fr AS MATERIALIZED (
+  SELECT id, dist FROM b1_{rounds} ORDER BY dist DESC, id ASC LIMIT 1
+), b2_0 AS MATERIALIZED (SELECT id, 0 AS dist FROM fr)""")
+    ctes.extend(_bfs_round("b2", k) for k in range(1, rounds + 1))
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT start_word, far_word, ecc_start, diameter_lb FROM (
+  SELECT st.id AS start_word, fr.id AS far_word,
+         CAST(fr.dist AS BIGINT) AS ecc_start,
+         (SELECT CAST(max(dist) AS BIGINT) FROM b2_{rounds}) AS diameter_lb
+  FROM st, fr
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__', '', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+  WHERE (SELECT count(*) FROM b1_{rounds}) <> (SELECT count(*) FROM b1_{rounds - 1})
+     OR (SELECT count(*) FROM b2_{rounds}) <> (SELECT count(*) FROM b2_{rounds - 1})
+)"""
+    )
+
+
 def q_butterflies_words(spark, sf_dir):
     """Global butterfly census (``graph/build.butterfly_count``: bipartite
     4-cycles of the passage↔entity graph via the Σ C(co, 2) identity).
@@ -3338,6 +3413,7 @@ def all_queries() -> dict:
         "butterflies_words": q_butterflies_words,
         "rich_club_words": q_rich_club_words,
         "msf_words": q_msf_words,
+        "diameter_words": q_diameter_words,
         "weighted_sample_docs": q_weighted_sample_docs,
         "ppr_docs": q_ppr_docs,
         "recall_at_k": q_recall_at_k,
@@ -3413,6 +3489,7 @@ def all_oracles() -> dict:
         "butterflies_words": SQL_BUTTERFLIES_WORDS,
         "rich_club_words": _rich_club_sql(),
         "msf_words": _msf_words_sql(),
+        "diameter_words": _diameter_words_sql(),
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "ppr_docs": _ppr_docs_sql(),
         "recall_at_k": _recall_sql(),

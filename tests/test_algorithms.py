@@ -1229,3 +1229,37 @@ def test_msf_raises_on_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="max_iter"):
         minimum_spanning_forest(spark, e, max_iter=1, num_blocks=2)
+
+
+def test_double_sweep_diameter_tree_exact(spark):
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.sssp import double_sweep_diameter
+
+    # random tree: double sweep is EXACT on trees
+    rng = np.random.default_rng(71)
+    n = 30
+    tree_edges = [(int(rng.integers(0, i)), i) for i in range(1, n)]
+    sym = [(u, v, 1.0) for u, v in tree_edges] + [(v, u, 1.0) for u, v in tree_edges]
+    e = spark.createDataFrame(sym, "src long, dst long, weight double")
+    start = spark.createDataFrame([(0,)], "id long")
+    out, lin1, lin2 = double_sweep_diameter(spark, e, start, num_blocks=2)
+    row = out.collect()[0]
+    G = nx.Graph(tree_edges)
+    assert row["diameter_lb"] == nx.diameter(G)
+    assert row["start_id"] == 0
+    ecc0 = nx.eccentricity(G, 0)
+    assert row["ecc_start"] == ecc0
+
+
+def test_double_sweep_tie_break_smallest_id(spark):
+    from hipporag_spark.algo.sssp import double_sweep_diameter
+
+    # star from 0: every leaf at dist 1 -> farthest is the SMALLEST leaf
+    sym = []
+    for leaf in (3, 1, 2):
+        sym += [(0, leaf, 1.0), (leaf, 0, 1.0)]
+    e = spark.createDataFrame(sym, "src long, dst long, weight double")
+    start = spark.createDataFrame([(0,)], "id long")
+    out, _, _ = double_sweep_diameter(spark, e, start, num_blocks=2)
+    row = out.collect()[0]
+    assert row["far_id"] == 1 and row["diameter_lb"] == 2
