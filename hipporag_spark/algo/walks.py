@@ -146,3 +146,69 @@ def random_walks(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def ppr_monte_carlo(
+    adj: DataFrame,
+    seeds: DataFrame,
+    walks_per_seed: int = 200,
+    damping: float = 0.5,
+    max_length: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Monte-Carlo personalized PageRank from endpoint frequencies of
+    restart-terminated walks (Fogaras et al. 2005 / Avrachenkov et al.):
+    a walk continues from step t with probability ``damping`` (decided
+    by a keyed hash draw, so the estimate is DETERMINISTIC for a given
+    walk budget and reproducible at any parallelism) and its stopping
+    vertex is one sample of the PPR distribution. Returns
+    ``(id, est)`` with est = stopped-here fraction, an unbiased
+    estimator whose error shrinks as 1/sqrt(walks_per_seed).
+
+    This is the third PPR engine tier: exact blocked/broadcast power
+    iteration (``algo/ppr``) for full vectors, forward push
+    (``algo/ppr_push``) for one seed's neighborhood, and Monte-Carlo
+    for cheap any-time estimates at extreme scale — walks cost
+    O(walks · E[length]) probes TOTAL via the indexed-adjacency draw,
+    independent of V and of hub degrees.
+
+    Truncation at ``max_length`` (mass P(len > L) = damping^L — choose
+    L for the target accuracy) assigns the rare surviving walks' mass to
+    their last vertex, the standard truncated-walk estimator."""
+    corpus = random_walks(
+        adj, seeds, length=max_length, walks_per_seed=walks_per_seed,
+        hash_fn=hash_fn,
+    )
+    # stop step: first t where the (walk, t) continue-draw fails, capped
+    # by the walk's actual length (dangling truncation stops early too)
+    stop_bucket = F.pmod(
+        F.xxhash64(F.concat_ws("|", F.col("walk_id"), F.col("step"), F.lit("stop"))),
+        F.lit(10_000),
+    ) if hash_fn == "xxhash64" else (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("walk_id"), F.col("step"), F.lit("stop"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % 10_000
+    )
+    cut = int(round(damping * 10_000))
+    # the stop draw applies at EVERY visit including the seed itself:
+    # P(stop at step t) = (1−damping)·damping^t, the exact geometric the
+    # (1−α)Σα^t P(X_t=v) series integrates (a walk on a dangling-free
+    # graph — e.g. any symmetric adjacency — never runs out of moves)
+    marked = corpus.withColumn("stops", stop_bucket >= F.lit(cut))
+    # per walk: the first stopping step, else the walk's last row
+    stopped = (
+        marked.groupBy("walk_id")
+        .agg(
+            F.min(F.when(F.col("stops"), F.struct("step", "vertex"))).alias("s"),
+            F.max(F.struct("step", "vertex")).alias("last"),
+        )
+        .select(F.coalesce(F.col("s.vertex"), F.col("last.vertex")).alias("id"))
+    )
+    total = stopped.count()
+    return (
+        stopped.groupBy("id")
+        .agg((F.count("*") / F.lit(float(total))).alias("est"))
+    )

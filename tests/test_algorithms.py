@@ -1263,3 +1263,39 @@ def test_double_sweep_tie_break_smallest_id(spark):
     out, _, _ = double_sweep_diameter(spark, e, start, num_blocks=2)
     row = out.collect()[0]
     assert row["far_id"] == 1 and row["diameter_lb"] == 2
+
+
+def test_ppr_monte_carlo_approaches_exact(spark):
+    """The walk-endpoint estimator converges on the exact PPR vector:
+    total-variation distance shrinks with the walk budget and the big
+    budget lands within 0.08 TV of exact (2k walks, 20 vertices)."""
+    from hipporag_spark.algo.walks import ppr_monte_carlo
+
+    n = 20
+    edges = random_multigraph(n, 80, 23)
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[3] = 1.0
+    want = ppr_reference(n, edges, reset, 0.5)
+
+    seeds = spark.createDataFrame([(3,)], "vertex long")
+    tv = {}
+    for budget in (100, 2000):
+        est = ppr_monte_carlo(
+            adj.select("src", "dst"), seeds, walks_per_seed=budget,
+            damping=0.5, max_length=24,
+        )
+        got = np.zeros(n)
+        for r in est.collect():
+            got[int(r["id"])] = r["est"]
+        tv[budget] = 0.5 * np.abs(got - want).sum()
+    assert tv[2000] < 0.08, tv
+    assert tv[2000] <= tv[100] + 0.02, tv
+    # deterministic: same budget -> identical estimate
+    e1 = sorted(map(tuple, ppr_monte_carlo(
+        adj.select("src", "dst"), seeds, walks_per_seed=100, damping=0.5,
+        max_length=24).collect()))
+    e2 = sorted(map(tuple, ppr_monte_carlo(
+        adj.select("src", "dst"), seeds, walks_per_seed=100, damping=0.5,
+        max_length=24).collect()))
+    assert e1 == e2
