@@ -160,9 +160,13 @@ def greedy_coloring(
             break
     else:
         nbrs.unpersist()
+        uncolored.unpersist()
+        colored.unpersist()
+        free_local_checkpoint(colored)
         raise RuntimeError(
             f"greedy_coloring did not finish within max_iter={max_iter} rounds"
         )
 
     nbrs.unpersist()
+    uncolored.unpersist()
     return colored.select("id", "color"), lineage

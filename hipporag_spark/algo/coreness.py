@@ -149,6 +149,8 @@ def coreness(
             break
     else:
         edges.unpersist()
+        state.unpersist()
+        free_local_checkpoint(state)
         raise RuntimeError(
             f"coreness did not reach fixpoint within max_iter={max_iter} rounds"
         )

@@ -210,8 +210,16 @@ def double_sweep_diameter(
     :func:`shortest_paths` run over the same pre-partitioned edge
     table)."""
     d1, lin1 = shortest_paths(spark, adj, start, max_iter=max_iter, num_blocks=num_blocks)
-    far = (
-        d1.orderBy(F.col("dist").desc(), F.col("id").asc()).limit(1).persist()
+    # the farthest vertex is ONE row — materialize it driver-side instead of
+    # persisting a frame that would otherwise live for the session (advice r4)
+    far_schema = d1.select("id", "dist").schema
+    far_row = (
+        d1.orderBy(F.col("dist").desc(), F.col("id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    far = spark.createDataFrame(
+        [(far_row["id"], far_row["dist"])], far_schema
     )
     d2, lin2 = shortest_paths(
         spark, adj, far.select("id"), max_iter=max_iter, num_blocks=num_blocks

@@ -142,6 +142,11 @@ def random_walks(
             .localCheckpoint(eager=True)
         )
         levels.append(cur)
+    # every level is eagerly localCheckpoint()ed, so the union's lineage no
+    # longer references the adjacency index — release the per-call caches
+    # (long-lived sessions otherwise accumulate one cached copy per call)
+    edges_idx.unpersist()
+    deg.unpersist()
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
@@ -208,6 +213,12 @@ def ppr_monte_carlo(
         .select(F.coalesce(F.col("s.vertex"), F.col("last.vertex")).alias("id"))
     )
     total = stopped.count()
+    if total == 0:
+        # empty seed set (or no surviving walks): an empty estimate frame,
+        # never a division by zero producing NaN/Infinity rows
+        return stopped.select(
+            F.col("id"), F.lit(0.0).alias("est")
+        ).limit(0)
     return (
         stopped.groupBy("id")
         .agg((F.count("*") / F.lit(float(total))).alias("est"))

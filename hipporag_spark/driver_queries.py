@@ -678,8 +678,8 @@ def _ktruss_round(r: int, k: int) -> str:
     UNION ALL SELECT p AS a, q AS b FROM t{r}
   ) GROUP BY a, b
 ), e{r} AS MATERIALIZED (
-  SELECT e.a, e.b FROM {p} e JOIN s{r} s ON s.a = e.a AND s.b = e.b
-  WHERE s.sup >= {k - 2}
+  SELECT e.a, e.b FROM {p} e LEFT JOIN s{r} s ON s.a = e.a AND s.b = e.b
+  WHERE coalesce(s.sup, 0) >= {k - 2}
 )"""
 
 
@@ -1195,7 +1195,17 @@ SELECT word_a, word_b, weight FROM (
   SELECT '__ORACLE_NOT_CONVERGED__' AS word_a, '' AS word_b, -1.0 AS weight
   WHERE EXISTS (
     SELECT 1 FROM uw e JOIN comp{rounds} x ON x.id = e.a
-    JOIN comp{rounds} y ON y.id = e.b WHERE x.label <> y.label)
+    JOIN comp{rounds} y ON y.id = e.b WHERE x.label <> y.label)"""
+        + "".join(
+            f"""
+  UNION ALL
+  SELECT '__ORACLE_JUMPS_TOO_SHALLOW__' AS word_a, '' AS word_b, -2.0 AS weight
+  WHERE EXISTS (
+    SELECT 1 FROM j{r}_{jumps} x JOIN j{r}_{jumps - 1} y ON y.id = x.id
+    WHERE x.p <> y.p)"""
+            for r in range(1, rounds + 1)
+        )
+        + """
 ) ORDER BY word_a, word_b"""
     )
 
@@ -1300,7 +1310,7 @@ WITH ents AS (
   GROUP BY e1.w, e2.w HAVING count(*) >= 2
 )
 SELECT count(*) AS wedge_pairs,
-       sum(CAST(weight * (weight - 1) / 2 AS BIGINT)) AS butterflies
+       CAST(sum(CAST(weight * (weight - 1) / 2 AS BIGINT)) AS BIGINT) AS butterflies
 FROM pairs
 """
 
@@ -2641,9 +2651,11 @@ def q_random_walks_words(spark, sf_dir):
     """Deterministic DeepWalk-style walk corpus (``algo/walks``) over the
     directed word graph, walking the STRING vertices directly: 8
     lexicographically-smallest seed words × 2 replicas × 6 steps, next
-    hop = argmin md5(walk_id:step:neighbor) over the out-neighbor set
-    (``hash_fn="md5"`` — the oracle-comparable mode; xxhash64 is the
-    100 TB default)."""
+    hop = the INDEXED-adjacency draw nbr(v)[H(walk_id:step) mod deg(v)]
+    with H = first 8 md5 hex chars as a 32-bit int and nbr(v) the
+    ascending-dst out-neighbor list (``hash_fn="md5"`` — the
+    oracle-comparable mode; xxhash64 is the 100 TB default). One probe
+    row per live walk per step, hub-degree independent."""
     from .algo.walks import random_walks
 
     docs = load(spark, sf_dir, "documents")
