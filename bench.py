@@ -464,10 +464,14 @@ def main() -> None:
     st_multi.count()
     seed_local = spark.createDataFrame([(int(ids[0]), 1.0)], "id long, weight double")
 
+    from hipporag_spark.algo.ppr_push import ppr_push_localized
+
     def run_push_local():
-        scores, lin = ppr_forward_push(
+        # the wall-honest local form: entire push inside one applyInPandas
+        # kernel per outer round (r4 verdict item #3 — the distributed
+        # superstep loop lost to exact despite touching 1.2% of V)
+        scores, lin = ppr_push_localized(
             spark, adj_multi, st_multi, seed_local, damping=0.5, eps=1e-6,
-            num_blocks=blocks,
         )
         return lin, scores.count()
 

@@ -527,6 +527,90 @@ def test_ppr_forward_push_dangling_seed(spark):
     assert np.allclose(got, want, atol=n * 1e-8)
 
 
+def test_ppr_push_localized_matches_exact(spark):
+    """The local-CSR-kernel push reaches the same fixed point as exact
+    PPR within the ACL bound, conserves mass, and needs far fewer outer
+    rounds than the distributed loop needs supersteps."""
+    from hipporag_spark.algo.ppr_push import ppr_push_localized
+
+    n = 30
+    edges = random_multigraph(n, 150, 37)
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[2], reset[11] = 0.6, 0.4
+    reset_df = spark.createDataFrame([(2, 0.6), (11, 0.4)], "id long, weight double")
+    scores, lineage = ppr_push_localized(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-7
+    )
+    got = np.zeros(n)
+    res = 0.0
+    for r in scores.collect():
+        got[r["id"]] = r["estimate"]
+        res += r["residual"]
+    assert lineage[-1]["converged"]
+    # prefetch shells compress the push radius into a handful of rounds
+    assert len(lineage) <= 4
+    want = ppr_reference(n, edges, reset, 0.5)
+    assert np.allclose(got, want, atol=n * 1e-7)
+    assert abs(got.sum() + res - 1.0) < 1e-9
+
+
+def test_ppr_push_localized_stays_local_and_deterministic(spark):
+    from hipporag_spark.algo.ppr_push import ppr_push_localized
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (3, 4, 1.0)]
+    adj, st, vids = make_graph(spark, 5, edges)
+    reset_df = spark.createDataFrame([(0, 1.0)], "id long, weight double")
+    a, _ = ppr_push_localized(spark, adj, st, reset_df, damping=0.5, eps=1e-9)
+    b, _ = ppr_push_localized(spark, adj, st, reset_df, damping=0.5, eps=1e-9)
+    rows_a = sorted((r["id"], r["estimate"]) for r in a.collect())
+    rows_b = sorted((r["id"], r["estimate"]) for r in b.collect())
+    assert {i for i, _ in rows_a} == {0, 1, 2}
+    assert rows_a == rows_b  # bit-identical across runs
+
+
+def test_ppr_push_localized_dangling_seed(spark):
+    from hipporag_spark.algo.ppr_push import ppr_push_localized
+
+    n = 6
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0)]  # 3,4,5 isolated
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[0], reset[4] = 0.5, 0.5
+    reset_df = spark.createDataFrame([(0, 0.5), (4, 0.5)], "id long, weight double")
+    scores, lineage = ppr_push_localized(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-9
+    )
+    got = np.zeros(n)
+    for r in scores.collect():
+        got[r["id"]] = r["estimate"]
+    assert lineage[-1]["converged"]
+    want = ppr_reference(n, edges, reset, 0.5)
+    assert np.allclose(got, want, atol=n * 1e-8)
+
+
+def test_ppr_push_localized_falls_back_when_oversized(spark):
+    """max_local_edges exceeded → the run delegates to the distributed
+    superstep loop and still returns the right answer."""
+    from hipporag_spark.algo.ppr_push import ppr_push_localized
+
+    n = 30
+    edges = random_multigraph(n, 150, 37)
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[2], reset[11] = 0.6, 0.4
+    reset_df = spark.createDataFrame([(2, 0.6), (11, 0.4)], "id long, weight double")
+    scores, lineage = ppr_push_localized(
+        spark, adj, st, reset_df, damping=0.5, eps=1e-7, max_local_edges=10
+    )
+    assert any(l.get("fallback") == "distributed" for l in lineage)
+    got = np.zeros(n)
+    for r in scores.collect():
+        got[r["id"]] = r["estimate"]
+    want = ppr_reference(n, edges, reset, 0.5)
+    assert np.allclose(got, want, atol=n * 1e-7)
+
+
 def test_scc_matches_networkx(spark):
     nx = pytest.importorskip("networkx")
     from hipporag_spark.algo.scc import strongly_connected_components
