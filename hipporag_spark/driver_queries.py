@@ -979,7 +979,9 @@ def q_coloring_words(spark, sf_dir):
     from .graph.build import adjacency
 
     e, ids = _word_graph_ids(spark, sf_dir)
-    colors, lineage = greedy_coloring(spark, adjacency(e), ids.select("id"), num_blocks=8)
+    colors, lineage = greedy_coloring(
+        spark, adjacency(e), ids.select("id"), num_blocks=8, priority="id"
+    )
     assert len(lineage) <= _COLORING_ORACLE_ROUNDS, (
         f"greedy_coloring depth {len(lineage)} exceeds the oracle unroll "
         f"{_COLORING_ORACLE_ROUNDS}; raise _COLORING_ORACLE_ROUNDS"
@@ -1033,6 +1035,172 @@ def _coloring_words_sql(rounds: int = _COLORING_ORACLE_ROUNDS) -> str:
   SELECT id, CAST(0 AS BIGINT) AS col FROM u0 WHERE 1 = 0
 )"""
     ctes = [head] + [_coloring_round(r) for r in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word, color FROM (
+  SELECT id AS word, col AS color FROM c{rounds}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, CAST(-1 AS BIGINT) AS color
+  WHERE EXISTS (SELECT 1 FROM u{rounds})
+) ORDER BY word"""
+    )
+
+
+def q_coloring_hash_words(spark, sf_dir):
+    """Hash-priority Jones–Plassmann (``algo/coloring`` with the default
+    ``priority="hash"`` — the scale mode: rounds follow the longest
+    descending run of the md5-permuted order, expected O(log n), instead
+    of the longest decreasing-id path). The oracle mints the identical
+    dense ids (row rank of the sorted words), computes the identical
+    md5-32 priority, and replays the rounds."""
+    from .algo.coloring import greedy_coloring
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    colors, lineage = greedy_coloring(
+        spark, adjacency(e), ids.select("id"), num_blocks=8, priority="hash"
+    )
+    assert len(lineage) <= _COLORING_HASH_ORACLE_ROUNDS, (
+        f"hash coloring depth {len(lineage)} exceeds the oracle unroll "
+        f"{_COLORING_HASH_ORACLE_ROUNDS}; raise _COLORING_HASH_ORACLE_ROUNDS"
+    )
+    return (
+        colors.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", "color")
+        .orderBy("word")
+    )
+
+
+# the sf0.001/0.01 word fixture is a near-clique (~31 mutually-adjacent
+# words): JP colors ~one clique vertex per round REGARDLESS of priority,
+# so the toy unroll depth matches the id-priority oracle; the hash
+# priority's O(log n) round advantage shows on SPARSE graphs (see the
+# 64-path pytest and the bench repo graph)
+_COLORING_HASH_ORACLE_ROUNDS = 40
+
+
+def _coloring_hash_round(r: int) -> str:
+    """One hash-priority JP round: a vertex is blocked by any uncolored
+    neighbor that PRECEDES it (edge flag ``prec`` = a-precedes-b, so
+    blocker x of u is the edge (a=u, b=x) with prec = false)."""
+    return f"""ready{r} AS (
+  SELECT u.id FROM u{r - 1} u WHERE NOT EXISTS (
+    SELECT 1 FROM nbrsp e JOIN u{r - 1} x ON x.id = e.b
+    WHERE e.a = u.id AND NOT e.prec)
+), used{r} AS (
+  SELECT DISTINCT rd.id, c.col FROM ready{r} rd
+  JOIN nbrsp e ON e.a = rd.id JOIN c{r - 1} c ON c.id = e.b
+), newly{r} AS MATERIALIZED (
+  SELECT id, min(k) AS col FROM (
+    SELECT rd.id, t.k FROM ready{r} rd JOIN degs d ON d.id = rd.id,
+    LATERAL unnest(generate_series(0, d.deg)) AS t(k)
+  ) cand ANTI JOIN used{r} s ON s.id = cand.id AND s.col = cand.k
+  GROUP BY id
+), c{r} AS MATERIALIZED (
+  SELECT id, col FROM c{r - 1} UNION ALL SELECT id, col FROM newly{r}
+), u{r} AS MATERIALIZED (
+  SELECT id FROM u{r - 1} ANTI JOIN newly{r} n ON n.id = u{r - 1}.id
+)"""
+
+
+def q_coloring_ldf_words(spark, sf_dir):
+    """Largest-degree-first Jones–Plassmann (``algo/coloring`` default
+    ``priority="ldf"`` — the scale mode: 4 rounds / 3 colors on the
+    sf0.1 repo graph vs 34 / 7 for id order). Priority = (degree desc,
+    md5-32(id) asc, id asc); the oracle replays degree, dense ids and
+    the md5 priority identically."""
+    from .algo.coloring import greedy_coloring
+    from .graph.build import adjacency
+
+    e, ids = _word_graph_ids(spark, sf_dir)
+    colors, lineage = greedy_coloring(
+        spark, adjacency(e), ids.select("id"), num_blocks=8, priority="ldf"
+    )
+    assert len(lineage) <= _COLORING_HASH_ORACLE_ROUNDS, (
+        f"ldf coloring depth {len(lineage)} exceeds the oracle unroll "
+        f"{_COLORING_HASH_ORACLE_ROUNDS}; raise _COLORING_HASH_ORACLE_ROUNDS"
+    )
+    return (
+        colors.join(ids.select("id", F.col("name").alias("word")), "id")
+        .select("word", "color")
+        .orderBy("word")
+    )
+
+
+def _coloring_prio_words_sql(prec_sql: str, rounds: int) -> str:
+    """Shared unroll for the priority-flagged JP oracles: ``prec_sql``
+    defines the a-precedes-b boolean over vids (word, id, prio, deg)."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), dg AS (
+  SELECT a AS word, count(*) AS deg FROM nbrs GROUP BY a
+), vids AS MATERIALIZED (
+  SELECT v.word, v.id, dg.deg,
+         CAST(('0x' || substr(md5(CAST(v.id AS VARCHAR)), 1, 8)) AS BIGINT) AS prio
+  FROM (SELECT word, row_number() OVER (ORDER BY word) - 1 AS id
+        FROM (SELECT DISTINCT a AS word FROM nbrs)) v
+  JOIN dg ON dg.word = v.word
+), nbrsp AS MATERIALIZED (
+  SELECT e.a, e.b, ({prec_sql}) AS prec
+  FROM nbrs e JOIN vids va ON va.word = e.a JOIN vids vb ON vb.word = e.b
+), degs AS MATERIALIZED (
+  SELECT a AS id, count(*) AS deg FROM nbrsp GROUP BY a
+), u0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id FROM nbrsp
+), c0 AS MATERIALIZED (
+  SELECT id, CAST(0 AS BIGINT) AS col FROM u0 WHERE 1 = 0
+)"""
+    ctes = [head] + [_coloring_hash_round(r) for r in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word, color FROM (
+  SELECT id AS word, col AS color FROM c{rounds}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word, CAST(-1 AS BIGINT) AS color
+  WHERE EXISTS (SELECT 1 FROM u{rounds})
+) ORDER BY word"""
+    )
+
+
+def _coloring_ldf_words_sql(rounds: int = _COLORING_HASH_ORACLE_ROUNDS) -> str:
+    return _coloring_prio_words_sql(
+        "va.deg > vb.deg OR (va.deg = vb.deg AND va.prio < vb.prio) "
+        "OR (va.deg = vb.deg AND va.prio = vb.prio AND e.a < e.b)",
+        rounds,
+    )
+
+
+def _coloring_hash_words_sql(rounds: int = _COLORING_HASH_ORACLE_ROUNDS) -> str:
+    """Hash-priority JP UNROLLED: dense ids = row rank of the sorted
+    words (graph/ids.assign_dense_ids semantics — id order ≡ word
+    order), priority = the same 32-bit md5 prefix of the decimal id the
+    engine computes, convergence sentinel as in the id-priority
+    oracle."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT s AS a, o AS b FROM trips
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), vids AS MATERIALIZED (
+  SELECT word, id,
+         CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS prio
+  FROM (SELECT word, row_number() OVER (ORDER BY word) - 1 AS id
+        FROM (SELECT DISTINCT a AS word FROM nbrs))
+), nbrsp AS MATERIALIZED (
+  SELECT e.a, e.b,
+         (va.prio < vb.prio OR (va.prio = vb.prio AND e.a < e.b)) AS prec
+  FROM nbrs e JOIN vids va ON va.word = e.a JOIN vids vb ON vb.word = e.b
+), degs AS MATERIALIZED (
+  SELECT a AS id, count(*) AS deg FROM nbrsp GROUP BY a
+), u0 AS MATERIALIZED (
+  SELECT DISTINCT a AS id FROM nbrsp
+), c0 AS MATERIALIZED (
+  SELECT id, CAST(0 AS BIGINT) AS col FROM u0 WHERE 1 = 0
+)"""
+    ctes = [head] + [_coloring_hash_round(r) for r in range(1, rounds + 1)]
     return (
         ",".join(ctes)
         + f"""
@@ -3420,6 +3588,8 @@ def all_queries() -> dict:
         "coreness_words": q_coreness_words,
         "two_hop_words": q_two_hop_words,
         "coloring_words": q_coloring_words,
+        "coloring_hash_words": q_coloring_hash_words,
+        "coloring_ldf_words": q_coloring_ldf_words,
         "sparsify_words": q_sparsify_words,
         "reciprocity_words": q_reciprocity_words,
         "butterflies_words": q_butterflies_words,
@@ -3496,6 +3666,8 @@ def all_oracles() -> dict:
         "coreness_words": _coreness_words_sql(),
         "two_hop_words": SQL_TWO_HOP_WORDS,
         "coloring_words": _coloring_words_sql(),
+        "coloring_hash_words": _coloring_hash_words_sql(),
+        "coloring_ldf_words": _coloring_ldf_words_sql(),
         "sparsify_words": SQL_SPARSIFY_WORDS,
         "reciprocity_words": SQL_RECIPROCITY_WORDS,
         "butterflies_words": SQL_BUTTERFLIES_WORDS,

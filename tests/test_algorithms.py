@@ -1226,7 +1226,7 @@ def test_greedy_coloring_matches_sequential_first_fit(spark):
         while c in used:
             c += 1
         want[v] = c
-    colors, lineage = greedy_coloring(spark, adj, vids, num_blocks=4)
+    colors, lineage = greedy_coloring(spark, adj, vids, num_blocks=4, priority="id")
     got = {r["id"]: r["color"] for r in colors.collect()}
     assert got == want
     # proper coloring
@@ -1238,6 +1238,31 @@ def test_greedy_coloring_matches_sequential_first_fit(spark):
     assert len(lineage) < n
 
 
+@pytest.mark.parametrize("priority", ["ldf", "hash"])
+def test_greedy_coloring_scale_priorities_proper_and_shallow(spark, priority):
+    """'ldf' (default) and 'hash' priorities: still a proper
+    deterministic coloring, but the round count follows descending runs
+    of a hashed (degree-bucketed for ldf) order instead of the longest
+    decreasing-id path. A 64-path pins the gap: id priority needs 63
+    rounds, these need only a handful."""
+    from hipporag_spark.algo.coloring import greedy_coloring
+
+    n = 64
+    edges = [(i, i + 1, 1.0) for i in range(n - 1)]
+    adj, st, vids = make_graph(spark, n, edges)
+    colors, lineage = greedy_coloring(
+        spark, adj, vids, num_blocks=2, priority=priority
+    )
+    got = {r["id"]: r["color"] for r in colors.collect()}
+    for i in range(n - 1):
+        assert got[i] != got[i + 1]
+    assert lineage[-1]["converged"]
+    assert len(lineage) <= 12, f"{priority} priority took {len(lineage)} rounds"
+    # deterministic across runs and partitionings
+    colors2, _ = greedy_coloring(spark, adj, vids, num_blocks=4, priority=priority)
+    assert got == {r["id"]: r["color"] for r in colors2.collect()}
+
+
 def test_greedy_coloring_path_graph_two_colors(spark):
     """Path graph: first-fit by id alternates 0/1 and the JP wavefront
     needs one round per vertex prefix — pins multi-round behavior and
@@ -1246,11 +1271,11 @@ def test_greedy_coloring_path_graph_two_colors(spark):
 
     edges = [(i, i + 1, 1.0) for i in range(7)]
     adj, st, vids = make_graph(spark, 8, edges)
-    colors, lineage = greedy_coloring(spark, adj, vids, num_blocks=2)
+    colors, lineage = greedy_coloring(spark, adj, vids, num_blocks=2, priority="id")
     got = {r["id"]: r["color"] for r in colors.collect()}
     assert got == {i: i % 2 for i in range(8)}
     with pytest.raises(RuntimeError, match="max_iter"):
-        greedy_coloring(spark, adj, vids, max_iter=2, num_blocks=2)
+        greedy_coloring(spark, adj, vids, max_iter=2, num_blocks=2, priority="id")
 
 
 def test_msf_matches_networkx(spark):

@@ -451,16 +451,20 @@ def test_coloring_kill_and_resume(spark, tmp_path):
     vids = spark.range(n).select(F.col("id"))
     ckdir = str(tmp_path / "ckcol")
 
-    full, full_lin = greedy_coloring(spark, adj, vids, num_blocks=2)
+    # id priority: the path graph colors exactly one vertex prefix per
+    # round, so max_iter=3 stops genuinely mid-run (ldf would finish in
+    # <=3 rounds and never raise)
+    full, full_lin = greedy_coloring(spark, adj, vids, num_blocks=2, priority="id")
     want = {(r["id"], r["color"]) for r in full.collect()}
 
     with pytest.raises(RuntimeError, match="max_iter"):
         greedy_coloring(
             spark, adj, vids, num_blocks=2, checkpoint_dir=ckdir,
-            run_id="col1", max_iter=3,
+            run_id="col1", max_iter=3, priority="id",
         )
     part2, lin2 = greedy_coloring(
-        spark, adj, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="col1"
+        spark, adj, vids, num_blocks=2, checkpoint_dir=ckdir, run_id="col1",
+        priority="id",
     )
     got = {(r["id"], r["color"]) for r in part2.collect()}
     assert got == want
