@@ -2848,12 +2848,14 @@ def _walks_round(k: int) -> str:
 )"""
 
 
-def _walks_words_sql(length: int = 6) -> str:
-    """Replays the identical index draw: the same 32-bit md5 prefix of
-    the same salted string, mod the same ascending-dst neighbor index —
-    walks.py's nbr(v)[H(walk_id:step) mod deg(v)] exactly (both draws
-    are non-negative, so %% agrees across engines)."""
-    head = f"""WITH {_WORD_GRAPH_CTES}, ed AS MATERIALIZED (
+def _walks_corpus_ctes(length: int = 6, n_replicas: int = 2, n_seeds: int = 8) -> str:
+    """CTE chain replaying walks.py's indexed draw — the same 32-bit md5
+    prefix of the same salted string, mod the same ascending-dst
+    neighbor index: nbr(v)[H(walk_id:step) mod deg(v)] exactly (both
+    draws are non-negative, so %% agrees across engines). Ends with a
+    ``corpus`` CTE holding the full (walk_id, seed, step, vertex)
+    table."""
+    head = f"""{_WORD_GRAPH_CTES}, ed AS MATERIALIZED (
   SELECT DISTINCT s AS src, o AS dst FROM trips
 ), edi AS MATERIALIZED (
   SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
@@ -2861,18 +2863,76 @@ def _walks_words_sql(length: int = 6) -> str:
 ), degs AS MATERIALIZED (
   SELECT src, count(*) AS deg FROM ed GROUP BY src
 ), seeds AS MATERIALIZED (
-  SELECT DISTINCT src FROM ed ORDER BY src LIMIT 8
+  SELECT DISTINCT src FROM ed ORDER BY src LIMIT {n_seeds}
 ), w0 AS MATERIALIZED (
   SELECT src || '#' || r AS walk_id, src AS seed, 0 AS step, src AS vertex
-  FROM seeds, (SELECT unnest(['0', '1']) AS r)
+  FROM seeds,
+       (SELECT CAST(t.r AS VARCHAR) AS r
+        FROM unnest(generate_series(0, {n_replicas - 1})) AS t(r))
 )"""
     ctes = [head] + [_walks_round(k) for k in range(1, length + 1)]
-    return (
-        ",".join(ctes)
-        + "\nSELECT walk_id, seed, step, vertex FROM ("
+    ctes.append(
+        "corpus AS MATERIALIZED (\n  "
         + " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(length + 1))
-        + ") ORDER BY walk_id, step"
+        + "\n)"
     )
+    return ",".join(ctes)
+
+
+def _walks_words_sql(length: int = 6) -> str:
+    return (
+        "WITH "
+        + _walks_corpus_ctes(length=length, n_replicas=2, n_seeds=8)
+        + "\nSELECT walk_id, seed, step, vertex FROM corpus ORDER BY walk_id, step"
+    )
+
+
+def q_ppr_monte_carlo_words(spark, sf_dir):
+    """Monte-Carlo PPR (``algo/walks.ppr_monte_carlo`` — the third PPR
+    engine tier: endpoint frequencies of restart-terminated walks) over
+    the directed word graph: 8 lexicographically-smallest seeds × 25
+    walks each, damping 0.5, truncation at 6 steps, ``hash_fn="md5"``
+    so the oracle replays BOTH draws — the indexed next-hop draw and the
+    per-visit stop draw (md5-32 of walk_id|step|stop, bucketed mod
+    10000, stop when bucket ≥ 5000)."""
+    from .algo.walks import ppr_monte_carlo
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs)).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    seeds = (
+        t.select(F.col("src").alias("vertex")).distinct().orderBy("vertex").limit(8)
+    )
+    est = ppr_monte_carlo(
+        t, seeds, walks_per_seed=25, damping=0.5, max_length=6, hash_fn="md5"
+    )
+    return est.select(
+        F.col("id").alias("word"), F.round("est", 6).alias("est")
+    ).orderBy("word")
+
+
+SQL_PPR_MONTE_CARLO_WORDS = (
+    "WITH "
+    + _walks_corpus_ctes(length=6, n_replicas=25, n_seeds=8)
+    + """, marked AS (
+  SELECT walk_id, step, vertex,
+         (CAST(('0x' || substr(md5(walk_id || '|' || CAST(step AS VARCHAR)
+                                || '|' || 'stop'), 1, 8)) AS BIGINT)
+          % 10000) >= 5000 AS stops
+  FROM corpus
+), pick AS (
+  SELECT m.walk_id,
+         coalesce(min(CASE WHEN m.stops THEN m.step END), max(m.step)) AS s
+  FROM marked m GROUP BY m.walk_id
+), stopped AS (
+  SELECT c.vertex AS id FROM pick p
+  JOIN corpus c ON c.walk_id = p.walk_id AND c.step = p.s
+)
+SELECT id AS word,
+       round(count(*) * 1.0 / (SELECT count(*) FROM stopped), 6) AS est
+FROM stopped GROUP BY id ORDER BY word"""
+)
 
 
 def q_pagerank_words(spark, sf_dir):
@@ -3571,6 +3631,7 @@ def all_queries() -> dict:
         "hits_words": q_hits_words,
         "katz_words": q_katz_words,
         "random_walks_words": q_random_walks_words,
+        "ppr_monte_carlo_words": q_ppr_monte_carlo_words,
         "pagerank_words": q_pagerank_words,
         "mis_words": q_mis_words,
         "harmonic_words": q_harmonic_words,
@@ -3649,6 +3710,7 @@ def all_oracles() -> dict:
         "hits_words": _hits_words_sql(),
         "katz_words": _katz_words_sql(),
         "random_walks_words": _walks_words_sql(),
+        "ppr_monte_carlo_words": SQL_PPR_MONTE_CARLO_WORDS,
         "pagerank_words": _pagerank_words_sql(),
         "mis_words": _mis_words_sql(),
         "harmonic_words": _harmonic_words_sql(),
