@@ -15,6 +15,14 @@ Physical plan per round: join(adj, labels on src) → two-phase aggregate
 groupBy(dst, label) — the (dst,label) composite key spreads hub-dst rows
 across reducers like a salt — → per-dst argmax via max_by struct ordering
 (weight desc, label asc) with NO window/sort.
+
+QUALITY CAVEAT: the deterministic min-label tie-break (chosen for
+exactness and oracle replayability, SURVEY.md §7.3) systematically
+favors small ids, which fragments community structure that randomized
+LPA would coalesce — measured Newman modularity −0.088 across 4,902
+communities on the sf0.1 repo graph. Treat the output as a
+deterministic partition primitive; score it with :mod:`.modularity`
+(the diagnostic) before treating it as communities.
 """
 
 from __future__ import annotations

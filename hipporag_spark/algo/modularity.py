@@ -15,6 +15,15 @@ map-side-combinable per-label agg, then a 1-row reduction — no iteration,
 no driver-side data beyond the scalar. The per-label aggregate is the
 only shuffle and is keyed on community id; AQE's skew split handles a
 giant community.
+
+READING THE SCORE: modularity here is the DIAGNOSTIC, not the
+objective. The deterministic min-label-tie-break LPA in
+:mod:`.labelprop` (pinned for exactness/replayability, not quality)
+can fragment a graph badly — measured Q = −0.088 with 4,902
+communities on the sf0.1 repo graph — and a negative Q then means the
+LABELS are weak, not that this operator is broken (it is oracle-green
+on hand-scored fixtures). Partitions from components or ground truth
+score as expected.
 """
 
 from __future__ import annotations

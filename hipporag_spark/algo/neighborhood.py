@@ -30,10 +30,19 @@ def two_hop_sizes(
     adj: DataFrame,
     max_mid_degree: int | None = None,
     approx: bool = False,
+    hub_exact: bool = False,
 ) -> DataFrame:
     """Return ``(id, n1, n2)`` for every non-isolated vertex of the
     simple undirected graph under ``adj`` (symmetric adjacency or raw
-    edges — direction and multiplicity are collapsed)."""
+    edges — direction and multiplicity are collapsed).
+
+    ``hub_exact=True`` (with ``max_mid_degree``) restores exactness: the
+    hub-middle wedges the cap dropped run as a SEPARATE union branch, so
+    the answer equals the uncapped computation while the Σ deg(hub)²
+    blow-up is confined to one branch that (a) only carries the few hub
+    middles and (b) is keyed (v) into the same skew-splittable distinct
+    aggregate. Without it the capped result is a documented lower
+    bound."""
     und = adj.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).filter(F.col("a") != F.col("b")).distinct()
@@ -44,19 +53,28 @@ def two_hop_sizes(
     )
 
     mid = nbrs
+    hub_mid = None
     if max_mid_degree is not None:
         deg = nbrs.groupBy("a").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") <= max_mid_degree).select("a")
         # drop hub MIDDLES only: pairs through a hub are omitted (lower
-        # bound), but the hub itself still gets its own n1/n2 rows
+        # bound unless hub_exact), but the hub itself still gets its own
+        # n1/n2 rows
         mid = nbrs.join(keep, "a", "left_semi")
+        if hub_exact:
+            hub_mid = nbrs.join(keep, "a", "left_anti")
 
-    two = (
-        nbrs.select(F.col("a").alias("v"), F.col("b").alias("m"))
-        .join(mid.select(F.col("a").alias("m"), F.col("b").alias("w")), "m")
-        .select("v", "w")
-        .filter(F.col("v") != F.col("w"))
-    )
+    def wedges(mid_df):
+        return (
+            nbrs.select(F.col("a").alias("v"), F.col("b").alias("m"))
+            .join(mid_df.select(F.col("a").alias("m"), F.col("b").alias("w")), "m")
+            .select("v", "w")
+            .filter(F.col("v") != F.col("w"))
+        )
+
+    two = wedges(mid)
+    if hub_mid is not None:
+        two = two.unionAll(wedges(hub_mid))
     reach = nbrs.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(two)
     cnt = (
         F.approx_count_distinct("w").alias("n2")

