@@ -316,6 +316,48 @@ def main() -> None:
           "!Window"])
     )
 
+    # 12h. coloring ready-round (r5): the priority comparison is a
+    #      precomputed edge FLAG — the round is semi-join + filter +
+    #      anti-join, integer/boolean-only, no per-round hash evaluation,
+    #      no cartesian, all-JVM
+    col_nbrs = (
+        adjacency(e).select("src", "dst")
+        .filter(F.col("src") != F.col("dst")).distinct()
+        .withColumn("prec", F.col("src") < F.col("dst"))
+    )
+    col_unc = spark.range(97).select("id")
+    col_blockers = (
+        col_nbrs.join(col_unc.withColumnRenamed("id", "src"), "src", "left_semi")
+        .filter(F.col("prec"))
+        .select(F.col("dst").alias("id"))
+    )
+    col_ready = col_unc.join(col_blockers, "id", "left_anti")
+    p = plan_of(col_ready)
+    sections.append(
+        ("coloring ready-round: precomputed priority flag, semi+anti joins, all-JVM", p,
+         ["LeftSemi", "LeftAnti", "!CartesianProduct",
+          "!BroadcastNestedLoopJoin", "!ArrowEvalPython", "!BatchEvalPython",
+          "!xxhash64", "!md5"])
+    )
+
+    # 12i. localized-push edge fetch (r5): a broadcast semi-join probes
+    #      the RAW adjacency — the frontier broadcasts, the O(E) side is
+    #      scanned in place with NO exchange (no compile/repartition step
+    #      at all in this engine)
+    pf_cur = spark.range(3).select(F.col("id").alias("src"))
+    pf_fetch = e.select("src", "dst", "weight").join(F.broadcast(pf_cur), "src")
+    p = plan_of(pf_fetch)
+    import re as _re2
+
+    no_big_exchange = "Exchange hashpartitioning" not in p
+    pf_checks = ["BroadcastHashJoin"]
+    if not no_big_exchange:
+        pf_checks.append("__PUSH_FETCH_SHUFFLED_E__")  # absent → FAIL
+    sections.append(
+        ("localized-push fetch: broadcast probe of raw adjacency, no E exchange", p,
+         pf_checks)
+    )
+
     # 13. iterative edge reuse: with broadcast disabled (the at-scale
     #     regime where the state side no longer broadcasts), a CC
     #     superstep must NOT re-exchange the pre-partitioned O(E) edge
