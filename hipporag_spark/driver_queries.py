@@ -1980,6 +1980,79 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd k-means over the embeddings table
+    (``ops/similarity.ivf_index`` — the IVF coarse quantizer run as a
+    first-class clustering operator): 8 centroids, 2 Lloyd iterations,
+    md5-32 content-addressed seeding (the DuckDB-replayable mode). The
+    oracle replays seeding, both assignment argmaxes, the 9-dp-rounded
+    member means, and the renormalization exactly. Output: the final
+    partition ``(vec_id, cid)``."""
+    from .ops.similarity import ivf_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents, assigned = ivf_index(emb, num_centroids=8, lloyd_iters=2, hash_fn="md5")
+    return assigned.select("vec_id", "cid").orderBy("vec_id")
+
+
+def _kmeans_iter_ctes(r: int, dim: int) -> str:
+    """One Lloyd iteration: argmax-cosine assignment against c{r-1}
+    (ties → smallest cid), per-(cid,pos) member mean rounded to 9 dp
+    (the engine's summation-order-independent grid), renormalize."""
+    return f"""a{r} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, {dim}),
+               p -> CAST(e.embedding[p] AS DOUBLE) * c.cemb[p])) DESC,
+             c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c{r - 1} c
+  ) WHERE rn = 1
+), m{r} AS (
+  SELECT cid, t.p AS pos, round(avg(CAST(embedding[t.p] AS DOUBLE)), 9) AS v
+  FROM a{r}, LATERAL unnest(generate_series(1, {dim})) AS t(p)
+  GROUP BY cid, t.p
+), cc{r} AS (
+  SELECT cid, list(v ORDER BY pos) AS mean FROM m{r} GROUP BY cid
+), c{r} AS (
+  SELECT cid,
+         list_transform(mean,
+           x -> x / sqrt(list_sum(list_transform(mean, y -> y * y)))) AS cemb
+  FROM cc{r}
+)"""
+
+
+def _kmeans_embeddings_sql(
+    num_centroids: int = 8, iters: int = 2, dim: int = 64
+) -> str:
+    head = f"""WITH h AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, embedding AS semb
+  FROM (SELECT * FROM h ORDER BY hv, vec_id LIMIT {num_centroids})
+), c0 AS (
+  SELECT cid, list_transform(semb, x -> CAST(x AS DOUBLE)) AS cemb FROM seeds
+)"""
+    ctes = [head] + [_kmeans_iter_ctes(r, dim) for r in range(1, iters + 1)]
+    return (
+        ",".join(ctes)
+        + f""",
+fin AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, {dim}),
+               p -> CAST(e.embedding[p] AS DOUBLE) * c.cemb[p])) DESC,
+             c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS INT) AS cid FROM fin ORDER BY vec_id"""
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF inverted-list ANN, run probe-all (nprobe == num_centroids): the
     index build (deterministic k-means) + probe machinery runs for real,
@@ -3670,6 +3743,7 @@ def all_queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_bruteforce_topk": q_ann_topk,
         "ann_ivf_probe_all": q_ann_ivf,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "knn_blocked_cogroup": q_knn_blocked,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -3749,6 +3823,7 @@ def all_oracles() -> dict:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ann_bruteforce_topk": SQL_ANN_TOPK,
         "ann_ivf_probe_all": SQL_ANN_TOPK,
+        "kmeans_embeddings": _kmeans_embeddings_sql(),
         "knn_blocked_cogroup": SQL_KNN_BLOCKED,
         "token_stats": SQL_TOKEN_STATS,
         "quality_score": SQL_QUALITY,

@@ -110,35 +110,44 @@ def ivf_index(
     embeddings: DataFrame,
     num_centroids: int = 16,
     lloyd_iters: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer + inverted lists, fully deterministic.
+    """IVF coarse quantizer + inverted lists — distributed Lloyd k-means,
+    fully deterministic.
 
     Returns ``(centroids(cid, cemb), assigned(vec_id, embedding, cid))``.
 
-    - Seeds: the ``num_centroids`` items with smallest ``xxhash64(vec_id)``
+    - Seeds: the ``num_centroids`` items with smallest ``hash(vec_id)``
       (content-addressed — identical at any cluster size, no RNG state),
       found by an adaptive hash-threshold filter: keep only rows whose
       hash falls below a cutoff sized for ~16·C expected survivors, then
       order just that O(C) candidate set. The full table is never sorted
       and never carries embeddings through a global ordering — at 100 TB
-      the seeding cost is one count + one filtered scan.
+      the seeding cost is one count + one filtered scan. ``hash_fn`` =
+      ``"xxhash64"`` (default) or ``"md5"`` (first 8 hex chars as a
+      32-bit int — the DuckDB-replayable oracle mode, same convention as
+      ``algo/walks``).
     - ``lloyd_iters`` k-means refinements, each one Spark pass: assign via
       broadcast centroid table + ``max_by`` argmax (cosine), then the
       element-wise member mean via ``posexplode`` + two-phase keyed
       aggregation (skew-safe: a hub centroid's rows spread over (cid, pos)
-      composite keys), re-normalized to unit length.
+      composite keys), re-normalized to unit length. Means are rounded to
+      9 dp BEFORE normalization: summation order differs across
+      partitionings (and engines), and the 1e-9 grid absorbs the ~1e-16
+      noise so centroid trajectories — hence assignments — are bit-stable
+      at any parallelism and exactly replayable in the SQL oracle.
     - At 100 TB: ``cid`` is the storage partition key of the inverted
       lists; only the centroid table (C×dim doubles) ever reaches the
       driver.
     """
     items = embeddings.select("vec_id", "embedding")
-    cents = _seed_centroids(items, num_centroids)
+    cents = _seed_centroids(items, num_centroids, hash_fn=hash_fn)
     for _ in range(lloyd_iters):
         assigned = _assign(items, cents)
         summed = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("v"))
+            .agg(F.round(F.avg("v"), 9).alias("v"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
             .select("cid", F.transform("pv", lambda s: s["v"]).alias("cemb"))
@@ -151,10 +160,12 @@ def ivf_index(
     return cents, _assign(items, cents)
 
 
-def _seed_centroids(items: DataFrame, num_centroids: int) -> DataFrame:
+def _seed_centroids(
+    items: DataFrame, num_centroids: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Deterministic seed selection with NO global sort.
 
-    Uniform ``xxhash64`` keys + an adaptive cutoff: only rows whose hash
+    Uniform hash keys + an adaptive cutoff: only rows whose hash
     lands in the bottom ``frac`` of the int64 range survive the filter, so
     the subsequent ordering touches O(num_centroids) rows regardless of
     table size. ``frac`` starts at 16·C/n (≥16× expected survivors — the
@@ -164,11 +175,19 @@ def _seed_centroids(items: DataFrame, num_centroids: int) -> DataFrame:
     """
     n = items.count()
     frac = min(1.0, (num_centroids * 16) / max(n, 1))
-    hashed = items.withColumn(
-        "h", F.xxhash64(F.col("vec_id").cast("string"))
-    )
+    if hash_fn == "md5":
+        hcol = F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        lo, span = 0, 2**32
+    elif hash_fn == "xxhash64":
+        hcol = F.xxhash64(F.col("vec_id").cast("string"))
+        lo, span = -(2**63), 2**64
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    hashed = items.withColumn("h", hcol)
     while True:
-        cutoff = min(int(-(2**63) + frac * (2**64)), 2**63 - 1)
+        cutoff = min(int(lo + frac * span), lo + span - 1)
         cand = hashed.filter(F.col("h") <= F.lit(cutoff))
         if frac >= 1.0 or cand.count() >= num_centroids:
             break
