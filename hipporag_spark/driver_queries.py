@@ -1104,6 +1104,76 @@ def _coloring_hash_round(r: int) -> str:
 )"""
 
 
+def q_matching_words(spark, sf_dir):
+    """Greedy maximal matching (``algo/matching`` — locally-dominant
+    rounds over the pinned (md5-32(a|b), a, b) edge order; the parallel
+    execution of sequential greedy) on the undirected word graph,
+    walking the STRING vertices directly."""
+    from .algo.matching import maximal_matching
+
+    docs = load(spark, sf_dir, "documents")
+    t = _word_pairs(doc_extraction(docs))
+    staged = t.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    out, lineage = maximal_matching(spark, staged)
+    assert len(lineage) <= _MATCHING_ORACLE_ROUNDS, (
+        f"matching depth {len(lineage)} exceeds the oracle unroll "
+        f"{_MATCHING_ORACLE_ROUNDS}; raise _MATCHING_ORACLE_ROUNDS"
+    )
+    return out.select(
+        F.col("a").alias("word_a"), F.col("b").alias("word_b")
+    ).orderBy("word_a", "word_b")
+
+
+# the near-clique word fixture matches ~one edge per round (every edge
+# shares an endpoint with the global-min edge), so the unroll tracks
+# vertex count / 2 there; sparse graphs drain in O(log n) rounds
+_MATCHING_ORACLE_ROUNDS = 24
+
+
+def _matching_round(r: int) -> str:
+    p = f"live{r - 1}"
+    return f"""mins{r} AS (
+  SELECT v, h, a, b FROM (
+    SELECT v, h, a, b, row_number() OVER (PARTITION BY v ORDER BY h, a, b) AS rn
+    FROM (SELECT a AS v, h, a, b FROM {p}
+          UNION ALL SELECT b AS v, h, a, b FROM {p})
+  ) WHERE rn = 1
+), dom{r} AS MATERIALIZED (
+  SELECT l.a, l.b, l.h FROM {p} l
+  JOIN mins{r} x ON x.v = l.a AND x.a = l.a AND x.b = l.b
+  JOIN mins{r} y ON y.v = l.b AND y.a = l.a AND y.b = l.b
+), live{r} AS MATERIALIZED (
+  SELECT l2.a, l2.b, l2.h FROM {p} l2
+  ANTI JOIN (SELECT a AS v FROM dom{r} UNION SELECT b FROM dom{r}) t1
+    ON t1.v = l2.a
+  ANTI JOIN (SELECT a AS v FROM dom{r} UNION SELECT b FROM dom{r}) t2
+    ON t2.v = l2.b
+)"""
+
+
+def _matching_words_sql(rounds: int = _MATCHING_ORACLE_ROUNDS) -> str:
+    """Locally-dominant matching UNROLLED: the identical md5-32 edge key,
+    per-vertex min by (h, a, b), dominance at both endpoints, matched-
+    vertex peel — with the convergence sentinel."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, live0 AS MATERIALIZED (
+  SELECT a, b,
+         CAST(('0x' || substr(md5(a || '|' || b), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+        FROM trips WHERE s <> o)
+)"""
+    ctes = [head] + [_matching_round(r) for r in range(1, rounds + 1)]
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT word_a, word_b FROM (
+  {" UNION ALL ".join(f"SELECT a AS word_a, b AS word_b FROM dom{r}" for r in range(1, rounds + 1))}
+  UNION ALL
+  SELECT '__ORACLE_NOT_CONVERGED__' AS word_a, '' AS word_b
+  WHERE EXISTS (SELECT 1 FROM live{rounds})
+) ORDER BY word_a, word_b"""
+    )
+
+
 def q_coloring_ldf_words(spark, sf_dir):
     """Largest-degree-first Jones–Plassmann (``algo/coloring`` default
     ``priority="ldf"`` — the scale mode: 4 rounds / 3 colors on the
@@ -3724,6 +3794,7 @@ def all_queries() -> dict:
         "coloring_words": q_coloring_words,
         "coloring_hash_words": q_coloring_hash_words,
         "coloring_ldf_words": q_coloring_ldf_words,
+        "matching_words": q_matching_words,
         "sparsify_words": q_sparsify_words,
         "reciprocity_words": q_reciprocity_words,
         "butterflies_words": q_butterflies_words,
@@ -3804,6 +3875,7 @@ def all_oracles() -> dict:
         "coloring_words": _coloring_words_sql(),
         "coloring_hash_words": _coloring_hash_words_sql(),
         "coloring_ldf_words": _coloring_ldf_words_sql(),
+        "matching_words": _matching_words_sql(),
         "sparsify_words": SQL_SPARSIFY_WORDS,
         "reciprocity_words": SQL_RECIPROCITY_WORDS,
         "butterflies_words": SQL_BUTTERFLIES_WORDS,

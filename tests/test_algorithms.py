@@ -1302,6 +1302,48 @@ def test_greedy_coloring_path_graph_two_colors(spark):
         greedy_coloring(spark, adj, vids, max_iter=2, num_blocks=2, priority="id")
 
 
+def test_maximal_matching_equals_sequential_greedy(spark):
+    """Locally-dominant rounds with a pinned total order compute EXACTLY
+    the sequential greedy matching in ascending (md5-32(a|b), a, b)
+    order; the result is maximal (no live edge with two free
+    endpoints)."""
+    import hashlib
+
+    from hipporag_spark.algo.matching import maximal_matching
+
+    n = 40
+    edges = random_multigraph(n, 170, 61)
+    adj, st, vids = make_graph(spark, n, edges)
+
+    def key(a, b):
+        h = hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:8]
+        return (int(h, 16), a, b)
+
+    simple = sorted(
+        {(min(u, v), max(u, v)) for u, v, _ in edges if u != v},
+        key=lambda e: key(*e),
+    )
+    used: set[int] = set()
+    want = set()
+    for a, b in simple:
+        if a not in used and b not in used:
+            want.add((a, b))
+            used.update((a, b))
+    out, lineage = maximal_matching(spark, adj)
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    assert got == want
+    assert lineage[-1]["converged"]
+    # maximality: every unmatched edge touches a matched vertex
+    mv = {v for e in got for v in e}
+    for a, b in simple:
+        assert a in mv or b in mv
+    # hash order keeps rounds shallow on a path (id order would need ~n)
+    path = [(i, i + 1, 1.0) for i in range(63)]
+    padj, _, _ = make_graph(spark, 64, path)
+    _, plin = maximal_matching(spark, padj)
+    assert len(plin) <= 12, f"path matching took {len(plin)} rounds"
+
+
 def test_msf_matches_networkx(spark):
     nx = pytest.importorskip("networkx")
     from hipporag_spark.algo.mst import minimum_spanning_forest
