@@ -370,6 +370,16 @@ def main() -> None:
     col_lin = bench("greedy_coloring", run_coloring)
     extras["coloring_rounds"] = len(col_lin)
 
+    from hipporag_spark.algo.matching import maximal_matching
+
+    def run_matching():
+        out, m_lin = maximal_matching(spark, adj)
+        extras["matching_edges"] = out.count()
+        return m_lin
+
+    m_lin = bench("maximal_matching", run_matching)
+    extras["matching_rounds"] = len(m_lin)
+
     from hipporag_spark.algo.neighborhood import two_hop_sizes
 
     def run_two_hop():
