@@ -2444,6 +2444,41 @@ FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
 """
 
 
+def q_rolling_zscore(spark, sf_dir):
+    """Per-user rolling z-score anomaly detection
+    (``ops/sessions.rolling_zscore``): trailing-20-row baseline in
+    pinned (ts, event_id) order, z rounded before the |z| > 3 flag —
+    one keyed shuffle + bounded moving frame."""
+    from .ops.sessions import rolling_zscore
+
+    return rolling_zscore(
+        load(spark, sf_dir, "events"), window=20, min_periods=5, threshold=3.0
+    )
+
+
+SQL_ROLLING_ZSCORE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+), stats AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(value) OVER w AS n
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN n >= 5 AND sd > 0
+              THEN round((value - mu) / sd, 6) END AS z
+  FROM stats
+)
+SELECT event_id, user_id, value, z,
+       coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+FROM scored ORDER BY event_id
+"""
+
+
 def _events_us(spark, sf_dir):
     from .ops.sessions import epoch_us
 
@@ -3827,6 +3862,7 @@ def all_queries() -> dict:
         "multimodal_features": q_multimodal,
         "events_windowed_stats": q_events_windowed,
         "sessionize_events": q_sessionize,
+        "rolling_zscore_events": q_rolling_zscore,
         "asof_join_events": q_asof_join,
         "range_join_error_windows": q_range_join,
         "hash_split_counts": q_hash_split,
@@ -3908,6 +3944,7 @@ def all_oracles() -> dict:
         "multimodal_features": SQL_MULTIMODAL,
         "events_windowed_stats": SQL_EVENTS_WINDOWED,
         "sessionize_events": SQL_SESSIONIZE,
+        "rolling_zscore_events": SQL_ROLLING_ZSCORE,
         "asof_join_events": SQL_ASOF_JOIN,
         "range_join_error_windows": SQL_RANGE_JOIN,
         "hash_split_counts": SQL_HASH_SPLIT,

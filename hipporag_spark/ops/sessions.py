@@ -110,3 +110,63 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    window: int = 20,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection over an event log — the
+    standard streaming-metrics outlier primitive (is this value ``>
+    threshold`` sample standard deviations from its own trailing
+    baseline?).
+
+    Baseline = the TRAILING ``window`` rows per key, EXCLUDING the
+    current row (no self-contamination), in pinned (ts, event_id) order
+    (the tie-break keeps the frame deterministic at any parallelism).
+    Rows with fewer than ``min_periods`` baseline points, or a
+    zero-variance baseline, get a NULL z and are never anomalies.
+
+    Returns ``(event_id, <key>, <value_col>, z, is_anomaly)``. ``z`` is
+    rounded to 6 dp BEFORE the threshold test so the flag is a pure
+    function of the emitted value (cross-engine float noise in the
+    rolling moments sits at ~1e-12, far inside the grid).
+
+    Scale shape: ONE shuffle on the key, then a per-key time-sorted scan
+    with a bounded moving frame — the same plan family as
+    :func:`sessionize`; per-task state is one key's history, hot keys
+    bounded the way every engine's window operator bounds them.
+    """
+    order = Window.partitionBy(key).orderBy("ts_us", "event_id")
+    frame = order.rowsBetween(-int(window), -1)
+    e = events.select(
+        "event_id", key, epoch_us(events, "ts").alias("ts_us"), value_col
+    )
+    stats = e.select(
+        "event_id",
+        key,
+        value_col,
+        F.avg(value_col).over(frame).alias("mu"),
+        F.stddev_samp(value_col).over(frame).alias("sd"),
+        F.count(value_col).over(frame).alias("n"),
+    )
+    z = F.when(
+        (F.col("n") >= int(min_periods)) & (F.col("sd") > 0),
+        F.round((F.col(value_col) - F.col("mu")) / F.col("sd"), 6),
+    )
+    return (
+        stats.select(
+            "event_id",
+            key,
+            value_col,
+            z.alias("z"),
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -56,6 +56,37 @@ def test_sessionize_gap_semantics(spark):
     }
 
 
+def test_rolling_zscore_semantics(spark):
+    """Trailing-window baseline excludes the current row; min_periods and
+    zero-variance rows yield NULL z / no anomaly; a genuine spike flags."""
+    import statistics
+
+    from hipporag_spark.ops.sessions import rolling_zscore
+
+    base = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2]
+    rows = [
+        (i, _t(0, i), 1, "x", v) for i, v in enumerate(base)
+    ] + [(6, _t(0, 6), 1, "x", 100.0)]  # the spike
+    # user 2: constant values → sd == 0 → never anomalous
+    rows += [(10 + i, _t(0, i), 2, "x", 5.0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["event_id"]: r for r in rolling_zscore(df, min_periods=5).collect()}
+    # first five rows of user 1: fewer than min_periods baseline points
+    for i in range(5):
+        assert out[i]["z"] is None and not out[i]["is_anomaly"]
+    # row 6: baseline = the six base values, z = (100 - mu) / sd
+    mu = statistics.mean(base)
+    sd = statistics.stdev(base)
+    assert out[6]["z"] == pytest.approx(round((100.0 - mu) / sd, 6), abs=1e-6)
+    assert out[6]["is_anomaly"]
+    assert not out[5]["is_anomaly"]
+    # constant-valued user: zero variance, never anomalous
+    for i in range(10, 18):
+        assert out[i]["z"] is None and not out[i]["is_anomaly"]
+
+
 def test_streaming_windowed_agg_finalizes_and_drops_late(spark, tmp_path):
     """Append-mode watermarked tumbling windows: a row older than the
     watermark is DROPPED; each finalized window emits exactly once."""
