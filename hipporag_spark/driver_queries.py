@@ -2479,6 +2479,37 @@ FROM scored ORDER BY event_id
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix
+    (``ops/sessions.event_transitions``): lag pairs in pinned
+    (ts, event_id) order, map-side-combinable counts, broadcast
+    row-normalizer."""
+    from .ops.sessions import event_transitions
+
+    return event_transitions(load(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+), pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM e
+), counts AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n * 1.0 / t.tot, 6) AS prob
+FROM counts c
+JOIN (SELECT prev_type, sum(n) AS tot FROM counts GROUP BY prev_type) t
+  ON t.prev_type = c.prev_type
+ORDER BY c.prev_type, c.next_type
+"""
+
+
 def _events_us(spark, sf_dir):
     from .ops.sessions import epoch_us
 
@@ -3863,6 +3894,7 @@ def all_queries() -> dict:
         "events_windowed_stats": q_events_windowed,
         "sessionize_events": q_sessionize,
         "rolling_zscore_events": q_rolling_zscore,
+        "event_transitions": q_event_transitions,
         "asof_join_events": q_asof_join,
         "range_join_error_windows": q_range_join,
         "hash_split_counts": q_hash_split,
@@ -3945,6 +3977,7 @@ def all_oracles() -> dict:
         "events_windowed_stats": SQL_EVENTS_WINDOWED,
         "sessionize_events": SQL_SESSIONIZE,
         "rolling_zscore_events": SQL_ROLLING_ZSCORE,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         "asof_join_events": SQL_ASOF_JOIN,
         "range_join_error_windows": SQL_RANGE_JOIN,
         "hash_split_counts": SQL_HASH_SPLIT,

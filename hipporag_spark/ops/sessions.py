@@ -112,6 +112,41 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition estimate over per-user event-type
+    sequences: ``(prev_type, next_type, n, prob)`` with ``prob`` the
+    row-normalized count (Σ prob = 1 per prev_type), rounded to 6 dp.
+    Consecutive pairs are taken within each user's (ts, event_id)-ordered
+    stream — the pinned tie-break keeps pairs deterministic at any
+    parallelism. The classic session-model / next-event-prediction
+    feature over interaction logs.
+
+    Scale shape: one shuffle on the user key for the lag, then a
+    map-side-combinable (prev, next) count; the per-prev normalizer is a
+    tiny (|types|²) aggregate joined back broadcast."""
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = events.select(
+        "user_id", "event_id", epoch_us(events, "ts").alias("ts_us"), "event_type"
+    )
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"))
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 def rolling_zscore(
     events: DataFrame,
     key: str = "user_id",

@@ -87,6 +87,31 @@ def test_rolling_zscore_semantics(spark):
         assert out[i]["z"] is None and not out[i]["is_anomaly"]
 
 
+def test_event_transitions_counts_and_rowsum(spark):
+    """Hand-computed lag pairs per user; probs row-normalize to 1."""
+    from hipporag_spark.ops.sessions import event_transitions
+
+    rows = [
+        (0, _t(0, 0), 1, "a", 0.0), (1, _t(0, 1), 1, "b", 0.0),
+        (2, _t(0, 2), 1, "a", 0.0), (3, _t(0, 3), 1, "b", 0.0),
+        (4, _t(0, 0), 2, "b", 0.0), (5, _t(0, 1), 2, "c", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {(r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+           for r in event_transitions(df).collect()}
+    # user 1: a->b, b->a, a->b; user 2: b->c
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")][0] == 1 and got[("b", "a")][1] == 0.5
+    assert got[("b", "c")][1] == 0.5
+    sums: dict = {}
+    for (p, _n), (n, prob) in got.items():
+        sums[p] = sums.get(p, 0.0) + prob
+    for p, s in sums.items():
+        assert abs(s - 1.0) < 1e-9, (p, s)
+
+
 def test_streaming_windowed_agg_finalizes_and_drops_late(spark, tmp_path):
     """Append-mode watermarked tumbling windows: a row older than the
     watermark is DROPPED; each finalized window emits exactly once."""
