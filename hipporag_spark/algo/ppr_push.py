@@ -395,7 +395,8 @@ def ppr_push_localized(
         known = state.select("id")
         n_new_edges = 0
         overflow = False
-        for _ in range(max(1, prefetch_hops)):
+        hops = max(1, prefetch_hops)
+        for hop in range(hops):
             cur = shells[-1]
             e = (
                 raw_edges.join(
@@ -415,6 +416,8 @@ def ppr_push_localized(
             if gathered_edges + n_new_edges > max_local_edges:
                 overflow = True
                 break
+            if hop == hops - 1:
+                break  # the final hop's outgoing shell is never fetched
             known = known.unionByName(cur).distinct()
             nxt = (
                 e.select(F.col("y").alias("id")).distinct()
