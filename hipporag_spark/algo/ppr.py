@@ -274,6 +274,103 @@ def _make_spmv_kernel(damping: float, nq: int, spill_dir: str, fanout_labels: li
     return kernel
 
 
+def _make_spmv_super_kernel(
+    damping: float, nq: int, spill_dir: str, fanout_labels: list[int]
+):
+    """Stage-1 kernel over a SUPERBLOCK of C co-grouped src blocks — the
+    map-side combine of the partial-rank shuffle. Each task runs the
+    per-member SpMV exactly as :func:`_make_spmv_kernel`, then MERGES
+    the members' partials per dst block (sparse union of the uniq index
+    sets, float64 scatter-add in pinned member order) before anything
+    is serialized: the kind=1 values crossing the wire shrink ~C×, and
+    the kind=2 dangling fan-out shrinks from P×P to (P/C)×P rows.
+    kind=0 rank forwards are per MEMBER (the combine's delta needs each
+    block's own old vector) and unchanged.
+
+    Per-task memory is bounded by the superblock's own edge volume (the
+    merge is sparse — entries, never dst-block sizes), i.e. C× the
+    single-block bound: C is the knob trading task granularity against
+    wire volume, data-derived so both cluster sizes run the identical
+    plan."""
+
+    def kernel(r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(r_pdf) == 0:
+            return _EMPTY_PARTIALS
+        rows: list[tuple] = []
+        member_order = np.argsort(r_pdf["block"].to_numpy(), kind="stable")
+        acc: dict[int, list] = {}
+        dmass_total = np.zeros(nq)
+        sb = None
+        for mi in member_order:
+            blk = int(r_pdf["block"].iloc[int(mi)])
+            if sb is None:
+                sb = blk  # min member label = the group's deterministic tag
+            v_flat = np.asarray(r_pdf["vals"].iloc[int(mi)], dtype=np.float64)
+            rows.append((blk, 0, blk, None, v_flat.astype(np.float32)))
+            dang = _load_dang(spill_dir, blk)
+            if len(dang):
+                dmass_total += (
+                    v_flat.reshape(nq, -1)[:, np.asarray(dang, dtype=np.int64)]
+                    .sum(axis=1)
+                )
+            g = _load_block(spill_dir, blk)
+            if g is None:
+                continue
+            V = v_flat.reshape(nq, -1)
+            dblks, eoff, uoff = g["dblks"], g["eoff"], g["uoff"]
+            max_e = int(np.diff(eoff).max()) if len(dblks) else 0
+            ebuf = _scratch((spill_dir, "spmv_e"), (max(1, max_e),))
+            for j in range(len(dblks)):
+                a, b = int(eoff[j]), int(eoff[j + 1])
+                ua, ub = int(uoff[j]), int(uoff[j + 1])
+                nu = ub - ua
+                src_idx = np.asarray(g["src_idx"][a:b], dtype=np.int64)
+                w = np.asarray(g["w"][a:b])
+                inv = np.asarray(g["inv"][a:b], dtype=np.int64)
+                eb = ebuf[: b - a]
+                # keyed by (member, dst-index): stable shape across
+                # supersteps, never collides within the task (unlike the
+                # single-block kernel's j-keyed buffers), so the merge can
+                # read it after the member loop without a copy
+                sums = _scratch((spill_dir, "super_sums", blk, j), (nq, nu))
+                for q in range(nq):
+                    np.take(V[q], src_idx, out=eb)
+                    np.multiply(eb, w, out=eb)
+                    sums[q] = np.bincount(inv, weights=eb, minlength=nu)
+                sums *= damping
+                acc.setdefault(int(dblks[j]), []).append(
+                    (np.asarray(g["uniq"][ua:ub], dtype=np.int64), sums)
+                )
+        for dblk in sorted(acc):
+            parts = acc[dblk]
+            if len(parts) == 1:
+                uniq, merged = parts[0]
+            else:
+                cat = np.concatenate([u for u, _ in parts])
+                uniq, invc = np.unique(cat, return_inverse=True)
+                merged = _scratch(
+                    (spill_dir, "super_merge", sb, dblk), (nq, len(uniq))
+                )
+                merged.fill(0.0)
+                off = 0
+                for u, s in parts:
+                    merged[:, invc[off : off + len(u)]] += s
+                    off += len(u)
+            rows.append(
+                (
+                    int(dblk), 1, int(sb),
+                    uniq.astype(np.int32),
+                    merged.ravel().astype(np.float32),
+                )
+            )
+        dm32 = dmass_total.astype(np.float32)
+        for lbl in fanout_labels:
+            rows.append((lbl, 2, int(sb), None, dm32))
+        return pd.DataFrame(rows, columns=["dblk", "kind", "src", "idx", "vals"])
+
+    return kernel
+
+
 def _make_combine_kernel(damping: float, nq: int, uniform_mask: np.ndarray, n: int):
     """Stage-2 kernel: per dst-block combine over ALL queries at once.
     base_q = (1-d) + d·Σ_blocks dmass_q (from the kind=2 partial rows);
@@ -461,10 +558,32 @@ def _ppr_blocked(
     # same dataflow, one extra (tiny) stage, no driver barrier either way
     fanout = P <= _K2_FANOUT_MAX
     all_labels = bg.fanout_labels()
-    # non-fanout emits ONE kind=2 row per src block; its dblk value is
+    # map-side combine: group C src blocks per SpMV task (the superblock
+    # kernel merges their partials before the exchange — serialized kind=1
+    # values ÷C, kind=2 fan-out rows ÷C). C is DATA-derived (env override
+    # SPARK_GRAFT_SPMV_GROUP) so both cluster sizes run the identical
+    # plan; C=1 below 16 blocks keeps ≥4 stage-1 tasks. Superblock labels
+    # reuse the routed label set: any SUBSET of a pmod-bijection keeps
+    # pairwise-distinct shuffle placement, so labels[b // C] lands the
+    # P/C groups on P/C distinct partitions of the P-scoped shuffle.
+    spmv_group = int(os.environ.get("SPARK_GRAFT_SPMV_GROUP", "0")) or (
+        4 if P >= 16 else 1
+    )
+    sb_map = None
+    if spmv_group > 1:
+        keys = [all_labels[b] for b in range(P)]
+        vals = [all_labels[b // spmv_group] for b in range(P)]
+        sb_map = F.map_from_arrays(
+            F.array(*[F.lit(int(k)) for k in keys]),
+            F.array(*[F.lit(int(v)) for v in vals]),
+        )
+    # non-fanout emits ONE kind=2 row per src group; its dblk value is
     # discarded (filtered on kind==2 and re-fanned via the JVM aggregate)
-    spmv = _make_spmv_kernel(
-        damping, nq, bg.spill_dir, all_labels if fanout else all_labels[:1]
+    k2_labels = all_labels if fanout else all_labels[:1]
+    spmv = (
+        _make_spmv_super_kernel(damping, nq, bg.spill_dir, k2_labels)
+        if spmv_group > 1
+        else _make_spmv_kernel(damping, nq, bg.spill_dir, k2_labels)
     )
     combine = _make_combine_kernel(damping, nq, uniform_mask, n)
     fused = (
@@ -506,7 +625,14 @@ def _ppr_blocked(
                 .cogroup(runstate.groupby("block"))
                 .applyInPandas(fused, _OUT_SCHEMA)
             )
-        partials = cur.groupby("block").applyInPandas(spmv, _PARTIAL_SCHEMA)
+        if sb_map is not None:
+            partials = (
+                cur.withColumn("sblk", F.element_at(sb_map, F.col("block")))
+                .groupby("sblk")
+                .applyInPandas(spmv, _PARTIAL_SCHEMA)
+            )
+        else:
+            partials = cur.groupby("block").applyInPandas(spmv, _PARTIAL_SCHEMA)
         if not fanout:
             k2 = partials.filter(F.col("kind") == 2)
             dm = (

@@ -232,6 +232,32 @@ def test_blocked_ppr_restores_shuffle_partitions(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
 
 
+def test_blocked_ppr_superblock_combine_matches_reference(spark, monkeypatch):
+    """The map-side superblock combine (SPARK_GRAFT_SPMV_GROUP > 1): C
+    src blocks per SpMV task, partials merged before the exchange — the
+    result must still match the reference within the usual bound, at
+    several (P, C) shapes including C ∤ P."""
+    from hipporag_spark.algo.ppr import personalized_pagerank
+
+    n, m, seed = 60, 400, 11
+    edges = random_multigraph(n, m, seed)
+    adj, st, vids = make_graph(spark, n, edges)
+    reset = np.zeros(n)
+    reset[3], reset[17] = 0.7, 0.3
+    reset_df = spark.createDataFrame([(3, 0.7), (17, 0.3)], "id long, weight double")
+    want = ppr_reference(n, edges, reset, 0.5)
+    for P, C in ((6, 3), (8, 4), (5, 2)):
+        monkeypatch.setenv("SPARK_GRAFT_SPMV_GROUP", str(C))
+        ranks, lineage = personalized_pagerank(
+            spark, adj, st, vids, n_vertices=n, reset_df=reset_df,
+            damping=0.5, engine="csr", num_blocks=P,
+        )
+        got = spark_ranks_to_np(ranks, n)
+        assert np.allclose(got, want, atol=1e-6), (P, C)
+        assert lineage[-1]["converged"]
+    monkeypatch.delenv("SPARK_GRAFT_SPMV_GROUP")
+
+
 def test_kcore_matches_networkx(spark):
     nx = pytest.importorskip("networkx")
     from hipporag_spark.algo.kcore import k_core
