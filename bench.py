@@ -380,6 +380,18 @@ def main() -> None:
     m_lin = bench("maximal_matching", run_matching)
     extras["matching_rounds"] = len(m_lin)
 
+    from hipporag_spark.algo.anf import anf, effective_diameter
+
+    def run_anf():
+        nf, anf_lin = anf(spark, adj, verts.select("id"), max_h=16, k=32)
+        rows = [tuple(r) for r in nf.collect()]
+        extras["anf_rounds"] = len(anf_lin)
+        extras["anf_effective_diameter"] = round(effective_diameter(rows), 2)
+        extras["anf_reach_final"] = round(rows[-1][1], 1)
+        return rows
+
+    bench("anf_neighborhood_function", run_anf)
+
     from hipporag_spark.algo.neighborhood import two_hop_sizes
 
     def run_two_hop():

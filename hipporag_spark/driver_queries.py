@@ -1104,6 +1104,96 @@ def _coloring_hash_round(r: int) -> str:
 )"""
 
 
+def q_anf_words(spark, sf_dir):
+    """Approximate neighborhood function (``algo/anf`` — Flajolet–Martin
+    sketch propagation, the Palmer/Boldi-Vigna distance-distribution
+    estimator that is the only thing that runs at 10^12 edges) over the
+    word graph: k=16 md5-seeded sketches, 4 fixed rounds
+    (``stop_early=False`` — the oracle-comparable fixed-depth mode).
+    The DuckDB oracle replays the sketches BIT-FOR-BIT: same md5-32
+    draws, same trailing-zero trick (h & -h), same bit_or propagation,
+    same lowest-unset-bit estimator — a deterministic approximation
+    with an exact replay."""
+    from .algo.anf import anf
+
+    # sketch the STRING vertices directly (hash salts are strings anyway)
+    t = _word_pairs(doc_extraction(load(spark, sf_dir, "documents")))
+    und = t.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")).distinct()
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    nf, lineage = anf(
+        spark, sym, verts, max_h=4, k=16, hash_fn="md5", stop_early=False
+    )
+    return nf.select(
+        "h", F.round("reach_est", 6).alias("reach_est"),
+        F.round("frac_of_final", 6).alias("frac_of_final"),
+    ).orderBy("h")
+
+
+_ANF_K = 16
+_ANF_H = 4
+
+
+def _anf_words_sql(k: int = _ANF_K, rounds: int = _ANF_H) -> str:
+    """FM-sketch replay: md5-32 per (sketch, vertex), rho = trailing
+    zeros via h & -h (exact log2 of a power of two), bit_or rounds,
+    estimate 2^mean(lowest-unset-bit)/0.77351."""
+    ms = [f"m{j}" for j in range(k)]
+
+    def rho(j: int) -> str:
+        # the initial mask IS the lowest set bit (2^log2(h & -h) = h & -h)
+        hv = (
+            f"CAST(('0x' || substr(md5('{j}:' || id), 1, 8)) AS BIGINT)"
+        )
+        return (
+            f"CASE WHEN {hv} = 0 THEN CAST(pow(2.0, 32) AS BIGINT) "
+            f"ELSE ({hv} & -{hv}) END"
+        )
+
+    def lzi(c: str) -> str:
+        return f"CAST(log2(CAST(((~{c}) & ({c} + 1)) AS DOUBLE)) AS INT)"
+
+    init_cols = ", ".join(f"{rho(j)} AS {ms[j]}" for j in range(k))
+    head = f"""WITH {_WORD_GRAPH_CTES}, und AS (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM trips WHERE s <> o
+), nbrs AS MATERIALIZED (
+  SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und
+), verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM nbrs
+), s0 AS MATERIALIZED (
+  SELECT id, {init_cols} FROM verts
+)"""
+    ctes = [head]
+    for r in range(1, rounds + 1):
+        p = f"s{r - 1}"
+        agg = ", ".join(f"bit_or(s.{c}) AS {c}" for c in ms)
+        mrg = ", ".join(
+            f"(v.{c} | coalesce(n.{c}, 0)) AS {c}" for c in ms
+        )
+        ctes.append(f"""nb{r} AS (
+  SELECT e.b AS id, {agg} FROM nbrs e JOIN {p} s ON s.id = e.a GROUP BY e.b
+), s{r} AS MATERIALIZED (
+  SELECT v.id, {mrg} FROM {p} v LEFT JOIN nb{r} n ON n.id = v.id
+)""")
+    rbar = "(" + " + ".join(lzi(c) for c in ms) + f") / {float(k)}"
+    ests = [
+        f"SELECT {r} AS h, sum(pow(2.0, {rbar}) / 0.77351) AS reach FROM s{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        ",".join(ctes)
+        + f""",
+est AS (
+  SELECT 0 AS h, CAST(count(*) AS DOUBLE) AS reach FROM verts
+  UNION ALL {" UNION ALL ".join(ests)}
+), fin AS (SELECT reach AS f FROM est WHERE h = {rounds})
+SELECT CAST(est.h AS INT) AS h, round(est.reach, 6) AS reach_est,
+       round(est.reach / fin.f, 6) AS frac_of_final
+FROM est, fin ORDER BY h"""
+    )
+
+
 def q_matching_words(spark, sf_dir):
     """Greedy maximal matching (``algo/matching`` — locally-dominant
     rounds over the pinned (md5-32(a|b), a, b) edge order; the parallel
@@ -3861,6 +3951,7 @@ def all_queries() -> dict:
         "coloring_hash_words": q_coloring_hash_words,
         "coloring_ldf_words": q_coloring_ldf_words,
         "matching_words": q_matching_words,
+        "anf_words": q_anf_words,
         "sparsify_words": q_sparsify_words,
         "reciprocity_words": q_reciprocity_words,
         "butterflies_words": q_butterflies_words,
@@ -3944,6 +4035,7 @@ def all_oracles() -> dict:
         "coloring_hash_words": _coloring_hash_words_sql(),
         "coloring_ldf_words": _coloring_ldf_words_sql(),
         "matching_words": _matching_words_sql(),
+        "anf_words": _anf_words_sql(),
         "sparsify_words": SQL_SPARSIFY_WORDS,
         "reciprocity_words": SQL_RECIPROCITY_WORDS,
         "butterflies_words": SQL_BUTTERFLIES_WORDS,

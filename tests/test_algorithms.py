@@ -1328,6 +1328,44 @@ def test_greedy_coloring_path_graph_two_colors(spark):
         greedy_coloring(spark, adj, vids, max_iter=2, num_blocks=2, priority="id")
 
 
+def test_anf_tracks_true_neighborhood_function(spark):
+    """FM-sketch ANF: N(0) exact, h >= 1 estimates inside the FM band at
+    k=64, the effective-diameter curve near the true interpolated value,
+    and the whole output bit-deterministic across partitionings."""
+    nx = pytest.importorskip("networkx")
+    from hipporag_spark.algo.anf import anf, effective_diameter
+
+    n = 60
+    edges = random_multigraph(n, 150, 17)
+    adj, st, vids = make_graph(spark, n, edges)
+    nf, lineage = anf(spark, adj, vids, max_h=10, k=64, hash_fn="md5")
+    rows = [(r["h"], r["reach_est"], r["frac_of_final"]) for r in nf.collect()]
+    assert lineage[-1]["converged"]
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    for u, v, _ in edges:
+        G.add_edge(u, v)
+    true = []
+    for h, est, _ in rows:
+        t = sum(
+            len(nx.single_source_shortest_path_length(G, v, cutoff=h))
+            for v in G.nodes
+        )
+        true.append(t)
+        if h == 0:
+            assert est == float(n)  # exact by construction
+        else:
+            assert abs(est - t) / t < 0.2, (h, est, t)
+    # effective diameter vs the true interpolated 90% point
+    fr = [(h, None, t / true[-1]) for (h, _, _), t in zip(rows, true)]
+    assert abs(effective_diameter(rows) - effective_diameter(fr)) < 0.5
+    # determinism at another partitioning
+    nf2, _ = anf(
+        spark, adj.repartition(7), vids, max_h=10, k=64, hash_fn="md5"
+    )
+    assert sorted(map(tuple, nf2.collect())) == sorted(map(tuple, nf.collect()))
+
+
 def test_maximal_matching_equals_sequential_greedy(spark):
     """Locally-dominant rounds with a pinned total order compute EXACTLY
     the sequential greedy matching in ascending (md5-32(a|b), a, b)
