@@ -39,7 +39,6 @@ knob — sketches ride in k long columns, so memory is k·8 bytes/vertex.
 
 from __future__ import annotations
 
-import math
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -177,6 +176,9 @@ def anf(
         if changed == 0 and stop_early:
             break
     edges.unpersist()
+    # the output is built from the collected series — the final sketch's
+    # checkpoint blocks are not part of any returned lineage
+    free_local_checkpoint(sketch)
     final = series[-1]
     rows = [
         (h, round(v, 6), round(v / final, 6)) for h, v in enumerate(series)
