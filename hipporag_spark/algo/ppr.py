@@ -560,14 +560,19 @@ def _ppr_blocked(
     all_labels = bg.fanout_labels()
     # map-side combine: group C src blocks per SpMV task (the superblock
     # kernel merges their partials before the exchange — serialized kind=1
-    # values ÷C, kind=2 fan-out rows ÷C). C is DATA-derived (env override
-    # SPARK_GRAFT_SPMV_GROUP) so both cluster sizes run the identical
-    # plan; C=1 below 16 blocks keeps ≥4 stage-1 tasks. Superblock labels
-    # reuse the routed label set: any SUBSET of a pmod-bijection keeps
-    # pairwise-distinct shuffle placement, so labels[b // C] lands the
-    # P/C groups on P/C distinct partitions of the P-scoped shuffle.
+    # values ÷C, kind=2 fan-out rows ÷C). Default: C=4 only when the
+    # grouped stage still FILLS the cluster (P/C ≥ parallelism) —
+    # measured −20% wall where stages wave-average, but a 4-task stage
+    # on 32 cores DOUBLED the 16-block sf0.1 wall (under-parallelized
+    # SpMV). At 10^12 edges P/C ≫ cores everywhere and the guard is
+    # always satisfied. SPARK_GRAFT_SPMV_GROUP overrides (the scaling
+    # ratio benches pin 1 for wave-averaged like-for-like). Superblock
+    # labels reuse the routed label set: any SUBSET of a pmod-bijection
+    # keeps pairwise-distinct shuffle placement, so labels[b // C] lands
+    # the P/C groups on P/C distinct partitions of the P-scoped shuffle.
+    dp = spark.sparkContext.defaultParallelism
     spmv_group = int(os.environ.get("SPARK_GRAFT_SPMV_GROUP", "0")) or (
-        4 if P >= 16 else 1
+        4 if P >= 16 and P // 4 >= dp else 1
     )
     sb_map = None
     if spmv_group > 1:
