@@ -69,6 +69,7 @@ def random_walks(
     length: int = 8,
     walks_per_seed: int = 1,
     hash_fn: str = "xxhash64",
+    weighted: bool = False,
 ) -> DataFrame:
     """Return the walk corpus ``(walk_id, seed, step, vertex)`` — long
     format, one row per visited vertex, ``step`` 0..≤length (0 = seed;
@@ -79,27 +80,85 @@ def random_walks(
     deduped (a draw over the neighbor SET). ``seeds`` has one ``vertex``
     column; each seed starts ``walks_per_seed`` walks with
     ``walk_id = vertex ‖ '#' ‖ r`` so replicas diverge from step 1 (the
-    draw is salted by walk_id)."""
+    draw is salted by walk_id).
+
+    ``weighted=True``: the next hop is drawn PROPORTIONALLY to the
+    integral edge ``weight`` column (e.g. co-occurrence counts — the
+    weight-respecting DeepWalk/node2vec sampling). Implementation is the
+    word2vec unigram-table trick lifted to the indexed-adjacency draw:
+    each edge occupies ``weight`` consecutive SLOTS of its source's
+    index (one ``posexplode`` at build), the draw becomes
+    ``slot = H(walk_id:step) mod W(v)`` with ``W(v)`` the total integer
+    weight — still exactly ONE equi-join probe per live walk per step,
+    hub-degree- AND weight-profile-independent, and still exactly
+    replayable in SQL (``generate_series`` explode). Index size is
+    Σ weight rows — the same table word2vec's sampler builds; weights
+    must be positive integers (raises otherwise)."""
     # vertex ids travel as strings (walk ids / hash salts are strings and
     # the corpus consumer is a sequence trainer); cast ONCE here so the
     # per-step join is a same-type equi-join, never an implicit
     # string↔bigint numeric-cast comparison
-    und = adj.select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
-    ).distinct()
-    w = Window.partitionBy("src").orderBy("dst")
-    edges_idx = (
-        und.withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
-        .repartition(F.col("src"), F.col("idx"))
-        .persist()
-    )
-    deg = (
-        und.groupBy("src")
-        .agg(F.count("*").alias("deg"))
-        .repartition(F.col("src"))
-        .persist()
-    )
+    if weighted:
+        und = (
+            adj.select(
+                F.col("src").cast("string").alias("src"),
+                F.col("dst").cast("string").alias("dst"),
+                F.col("weight").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+        bad = und.filter(
+            (F.col("w") <= 0) | (F.col("w") != F.round("w"))
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                "weighted random_walks requires positive integral edge weights"
+            )
+        und = und.withColumn("w", F.col("w").cast("long"))
+        w = Window.partitionBy("src").orderBy("dst")
+        # slot-expand: edge -> w consecutive slots; slot index = running
+        # weight before this edge + offset within the edge
+        cum = (
+            und.withColumn(
+                "hi",
+                F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .withColumn("lo", F.col("hi") - F.col("w"))
+        )
+        edges_idx = (
+            cum.select(
+                "src", "dst",
+                F.explode(
+                    F.sequence(F.col("lo"), F.col("hi") - 1)
+                ).alias("idx"),
+            )
+            .repartition(F.col("src"), F.col("idx"))
+            .persist()
+        )
+        deg = (
+            und.groupBy("src")
+            .agg(F.sum("w").alias("deg"))
+            .repartition(F.col("src"))
+            .persist()
+        )
+    else:
+        und = adj.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        ).distinct()
+        w = Window.partitionBy("src").orderBy("dst")
+        edges_idx = (
+            und.withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+            .repartition(F.col("src"), F.col("idx"))
+            .persist()
+        )
+        deg = (
+            und.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .repartition(F.col("src"))
+            .persist()
+        )
     replicas = seeds.sparkSession.range(walks_per_seed).select(
         F.col("id").cast("string").alias("r")
     )

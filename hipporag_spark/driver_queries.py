@@ -3234,6 +3234,64 @@ FROM stopped GROUP BY id ORDER BY word"""
 )
 
 
+def q_weighted_walks_words(spark, sf_dir):
+    """Weight-proportional walk corpus (``algo/walks`` with
+    ``weighted=True`` — the word2vec unigram-table trick lifted to the
+    indexed draw: each edge holds ``weight`` consecutive slots, the hop
+    is slot ``H(walk_id:step) mod W(v)``, still one equi-join probe per
+    live walk per step). Weights = per-pair document co-occurrence
+    counts; 8 smallest seeds × 2 replicas × 4 steps, md5 mode."""
+    from .algo.walks import random_walks
+
+    t = _word_pairs(doc_extraction(load(spark, sf_dir, "documents")))
+    staged = t.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    seeds = (
+        staged.select(F.col("src").alias("vertex")).distinct()
+        .orderBy("vertex").limit(8)
+    )
+    return random_walks(
+        staged, seeds, length=4, walks_per_seed=2, hash_fn="md5",
+        weighted=True,
+    ).orderBy("walk_id", "step")
+
+
+def _weighted_walks_words_sql(
+    length: int = 4, n_replicas: int = 2, n_seeds: int = 8
+) -> str:
+    """Replays the slot-expanded draw: per-(src,dst) doc-co-occurrence
+    weights, running-weight slot offsets (generate_series explode), the
+    same md5-32 draw mod the same total weight."""
+    head = f"""WITH {_WORD_GRAPH_CTES}, ed AS MATERIALIZED (
+  SELECT s AS src, o AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM trips GROUP BY s, o
+), edi AS MATERIALIZED (
+  SELECT e.src, e.dst, e.lo + t.k AS idx FROM (
+    SELECT src, dst, w,
+           sum(w) OVER (PARTITION BY src ORDER BY dst
+                        ROWS UNBOUNDED PRECEDING) - w AS lo
+    FROM ed) e, LATERAL unnest(generate_series(0, e.w - 1)) AS t(k)
+), degs AS MATERIALIZED (
+  SELECT src, sum(w) AS deg FROM ed GROUP BY src
+), seeds AS MATERIALIZED (
+  SELECT DISTINCT src FROM ed ORDER BY src LIMIT {n_seeds}
+), w0 AS MATERIALIZED (
+  SELECT src || '#' || r AS walk_id, src AS seed, 0 AS step, src AS vertex
+  FROM seeds,
+       (SELECT CAST(t.r AS VARCHAR) AS r
+        FROM unnest(generate_series(0, {n_replicas - 1})) AS t(r))
+)"""
+    ctes = [head] + [_walks_round(k) for k in range(1, length + 1)]
+    return (
+        ",".join(ctes)
+        + "\nSELECT walk_id, seed, step, vertex FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(length + 1))
+        + ") ORDER BY walk_id, step"
+    )
+
+
 def q_pagerank_words(spark, sf_dir):
     """GLOBAL PageRank over the undirected weighted word graph — the
     first algorithm the BASELINE.json north rule names. A zero reset
@@ -3931,6 +3989,7 @@ def all_queries() -> dict:
         "katz_words": q_katz_words,
         "random_walks_words": q_random_walks_words,
         "ppr_monte_carlo_words": q_ppr_monte_carlo_words,
+        "weighted_walks_words": q_weighted_walks_words,
         "pagerank_words": q_pagerank_words,
         "mis_words": q_mis_words,
         "harmonic_words": q_harmonic_words,
@@ -4015,6 +4074,7 @@ def all_oracles() -> dict:
         "katz_words": _katz_words_sql(),
         "random_walks_words": _walks_words_sql(),
         "ppr_monte_carlo_words": SQL_PPR_MONTE_CARLO_WORDS,
+        "weighted_walks_words": _weighted_walks_words_sql(),
         "pagerank_words": _pagerank_words_sql(),
         "mis_words": _mis_words_sql(),
         "harmonic_words": _harmonic_words_sql(),

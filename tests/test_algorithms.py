@@ -839,6 +839,43 @@ def test_random_walks_deterministic_and_valid(spark):
     assert corpora["md5"] != corpora["xxhash64"]  # different draw sequences
 
 
+def test_random_walks_weighted_slot_draw(spark):
+    """weighted=True: next hops replay the slot-expanded md5 draw exactly
+    (Python mirror), frequencies respect the 3:1 weights, and
+    non-integral weights raise."""
+    import hashlib
+
+    from hipporag_spark.algo.walks import random_walks
+
+    e = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    out = random_walks(
+        e, seeds, length=1, walks_per_seed=40, hash_fn="md5", weighted=True
+    )
+    got = {
+        r["walk_id"]: r["vertex"]
+        for r in out.filter(F.col("step") == 1).collect()
+    }
+    counts = {"1": 0, "2": 0}
+    for rep in range(40):
+        wid = f"0#{rep}"
+        slot = int(hashlib.md5(f"{wid}:1".encode()).hexdigest()[:8], 16) % 4
+        want = "1" if slot < 3 else "2"  # dst order: slots 0-2 -> 1, 3 -> 2
+        assert got[wid] == want, (wid, slot, got[wid])
+        counts[want] += 1
+    # the 3:1 weighting shows in the draw distribution
+    assert counts["1"] > counts["2"] > 0
+    with pytest.raises(ValueError, match="integral"):
+        random_walks(
+            spark.createDataFrame(
+                [(0, 1, 0.5)], "src long, dst long, weight double"
+            ),
+            seeds, length=1, weighted=True,
+        )
+
+
 def test_random_walks_dangling_truncates(spark):
     from hipporag_spark.algo.walks import random_walks
 
